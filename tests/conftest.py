@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+
+Multi-chip sharding tests run on fake CPU devices (the standard JAX
+substitute for a real slice); parity tests compare against the PyTorch
+reference on CPU.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
