@@ -14,3 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# XLA:CPU's oneDNN path computes f32 matmuls at bf16-ish precision by
+# default, which swamps parity tolerances. Tests compare math, not speed.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -21,7 +21,7 @@ _STUBS = [
     "torchaudio", "torchaudio.transforms", "torchaudio.functional",
     "librosa", "librosa.filters",
     "inflect", "unidecode", "rotary_embedding_torch", "progressbar",
-    "sounddevice", "spacy", "deepspeed", "huggingface_hub",
+    "sounddevice", "spacy", "deepspeed",
 ]
 
 
@@ -30,6 +30,7 @@ def _install_stubs():
         if name in sys.modules:
             continue
         mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         if name == "inflect":
             mod.engine = lambda: types.SimpleNamespace(
                 number_to_words=lambda *a, **k: (_ for _ in ()).throw(RuntimeError("inflect stub")))
@@ -41,13 +42,26 @@ def _install_stubs():
                     pass
             mod.RotaryEmbedding = _Rot
             mod.broadcat = None
-        if name == "huggingface_hub":
-            mod.hf_hub_download = lambda **k: (_ for _ in ()).throw(RuntimeError("no network"))
         sys.modules[name] = mod
     # wire submodules
     sys.modules["torchaudio"].transforms = sys.modules["torchaudio.transforms"]
     sys.modules["torchaudio"].functional = sys.modules["torchaudio.functional"]
     sys.modules["librosa"].filters = sys.modules["librosa.filters"]
+
+    # Compat shim: transformers >= 4.49 removed LogitsWarper (merged into
+    # LogitsProcessor). Pre-register the reference's typical_sampling module
+    # with the import rewritten; attribute-patching the lazy transformers
+    # module is unreliable because it re-swaps itself in sys.modules.
+    name = "tortoise.utils.typical_sampling"
+    if name not in sys.modules:
+        path = os.path.join(REFERENCE_ROOT, "tortoise", "utils", "typical_sampling.py")
+        src = open(path).read().replace(
+            "from transformers import LogitsWarper",
+            "from transformers import LogitsProcessor as LogitsWarper")
+        mod = types.ModuleType(name)
+        mod.__file__ = path
+        exec(compile(src, path, "exec"), mod.__dict__)
+        sys.modules[name] = mod
 
 
 def load_ref_module(name: str):
@@ -55,7 +69,16 @@ def load_ref_module(name: str):
     _install_stubs()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
-    return importlib.import_module(name)
+    mod = importlib.import_module(name)
+    if name == "tortoise.models.autoregressive":
+        # transformers >= 4.50: PreTrainedModel no longer provides generate();
+        # re-attach GenerationMixin to the reference's inference model.
+        from transformers.generation import GenerationMixin
+
+        if not issubclass(mod.GPT2InferenceModel, GenerationMixin):
+            mod.GPT2InferenceModel = type(
+                "GPT2InferenceModel", (mod.GPT2InferenceModel, GenerationMixin), {})
+    return mod
 
 
 def has_reference() -> bool:

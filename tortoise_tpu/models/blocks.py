@@ -1,0 +1,250 @@
+"""Shared neural building blocks (flax.linen).
+
+TPU-native re-implementations of the reference's shared modules
+(reference: tortoise/models/arch_util.py). Everything operates in
+(batch, time, channels) layout — the native layout for both XLA convolutions
+(NWC) and the MXU — whereas the reference uses (batch, channels, time).
+Weight converters in ``tortoise_tpu/convert`` handle the transposes.
+
+Compute dtype is configurable (bfloat16 for production); normalizations run
+in float32 like the reference's GroupNorm32 (arch_util.py:21-23).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def norm_num_groups(channels: int) -> int:
+    """Group count heuristic (reference arch_util.py:26-41)."""
+    groups = 32
+    if channels <= 16:
+        groups = 8
+    elif channels <= 64:
+        groups = 16
+    while channels % groups != 0:
+        groups = int(groups / 2)
+    assert groups > 2
+    return groups
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm evaluated in float32 regardless of activation dtype."""
+    channels: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(num_groups=norm_num_groups(self.channels), epsilon=self.eps,
+                         dtype=jnp.float32, param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+def relative_position_bucket(relative_position: jnp.ndarray, num_buckets: int = 32,
+                             max_distance: int = 128, causal: bool = False) -> jnp.ndarray:
+    """T5-style log-bucketed relative positions (reference xtransformers.py:155-175)."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if not causal:
+        num_buckets //= 2
+        ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-20)
+        / np.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    """Learned bucketed relative position bias added to attention logits
+    (reference xtransformers.py:146-187). Returns (heads, T, T) * scale."""
+    scale: float
+    heads: int
+    num_buckets: int = 32
+    max_distance: int = 128
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, qlen: int, klen: int) -> jnp.ndarray:
+        q_pos = jnp.arange(qlen)[:, None]
+        k_pos = jnp.arange(klen)[None, :]
+        buckets = relative_position_bucket(k_pos - q_pos, self.num_buckets,
+                                           self.max_distance, self.causal)
+        table = self.param("embedding", nn.initializers.normal(1.0),
+                           (self.num_buckets, self.heads), jnp.float32)
+        return jnp.transpose(table[buckets], (2, 0, 1)) * self.scale  # (H, T, T)
+
+
+class AttentionBlock(nn.Module):
+    """Self-attention over time with the diffusion-codebase head layout
+    (reference arch_util.py:80-123 + QKVAttentionLegacy :44-77).
+
+    Input/output: (B, T, C). The fused qkv projection keeps the reference's
+    per-head [q|k|v] channel interleave so converted weights line up.
+    Scaling is 1/sqrt(sqrt(head_dim)) applied to q and k separately; softmax
+    runs in float32; an optional mask multiplies the *post-softmax* weights
+    (a quirk of the reference kept for parity, arch_util.py:71-74).
+    """
+    channels: int
+    num_heads: int = 1
+    relative_pos_embeddings: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, t, c = x.shape
+        h = self.num_heads
+        ch = c // h
+        y = GroupNorm32(self.channels)(x)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(y)
+        qkv = qkv.reshape(b, t, h, 3, ch)  # per-head [q|k|v] interleave
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        scale = 1.0 / np.sqrt(np.sqrt(ch))
+        logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
+                            preferred_element_type=jnp.float32)
+        if self.relative_pos_embeddings:
+            bias = RelativePositionBias(scale=ch ** 0.5, heads=self.num_heads,
+                                        num_buckets=32, max_distance=64,
+                                        name="rel_pos")(t, t)
+            logits = logits + bias[None]
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if mask is not None:
+            w = w * mask[:, None, None, :].astype(w.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", w, v.astype(self.dtype))
+        out = out.reshape(b, t, c)
+        out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                       kernel_init=nn.initializers.zeros, name="proj_out")(out)
+        return x + out
+
+
+class ResBlock(nn.Module):
+    """1-D residual block, GroupNorm32+SiLU+Conv twice with zero-init second
+    conv (reference arch_util.py:181-246, up/down unused by shipped models)."""
+    channels: int
+    out_channels: int | None = None
+    kernel_size: int = 3
+    use_conv_skip: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.out_channels or self.channels
+        pad = 1 if self.kernel_size == 3 else 2
+        h = GroupNorm32(self.channels)(x)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (self.kernel_size,), padding=pad, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="in_conv")(h)
+        h = GroupNorm32(out_ch)(h)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (self.kernel_size,), padding=pad, dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
+                    name="out_conv")(h)
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv_skip:
+            skip = nn.Conv(out_ch, (self.kernel_size,), padding=pad, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="skip_conv")(x)
+        else:
+            skip = nn.Conv(out_ch, (1,), dtype=self.dtype, param_dtype=jnp.float32,
+                           name="skip_conv")(x)
+        return skip + h
+
+
+class Downsample(nn.Module):
+    """Strided-conv downsampling (reference arch_util.py:153-178)."""
+    channels: int
+    out_channels: int | None = None
+    factor: int = 4
+    ksize: int = 5
+    pad: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.out_channels or self.channels
+        return nn.Conv(out_ch, (self.ksize,), strides=(self.factor,), padding=self.pad,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor upsample + conv (reference arch_util.py:126-150)."""
+    channels: int
+    out_channels: int | None = None
+    factor: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.out_channels or self.channels
+        x = jnp.repeat(x, self.factor, axis=1)
+        return nn.Conv(out_ch, (5,), padding=2, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv")(x)
+
+
+class ConditioningEncoder(nn.Module):
+    """Mel clip -> single conditioning vector: 1x1 conv then attention stack,
+    taking the t=0 vector (reference autoregressive.py:204-228)."""
+    spec_dim: int
+    embedding_dim: int
+    attn_blocks: int = 6
+    num_attn_heads: int = 4
+    mean: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel_btc):
+        # mel_btc: (B, T, spec_dim)
+        h = nn.Dense(self.embedding_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="init")(mel_btc)
+        for i in range(self.attn_blocks):
+            h = AttentionBlock(self.embedding_dim, self.num_attn_heads,
+                               dtype=self.dtype, name=f"attn_{i}")(h)
+        return h.mean(axis=1) if self.mean else h[:, 0]
+
+
+class AudioMiniEncoder(nn.Module):
+    """Waveform/spectrogram pyramid encoder used by the Tortoise-detector
+    classifier (reference tortoise/models/classifier.py:78-120)."""
+    spec_dim: int
+    embedding_dim: int
+    base_channels: int = 128
+    depth: int = 2
+    resnet_blocks: int = 2
+    attn_blocks: int = 4
+    num_attn_heads: int = 4
+    downsample_factor: int = 2
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_btc):
+        h = nn.Conv(self.base_channels, (3,), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="init")(x_btc)
+        ch = self.base_channels
+        idx = 0
+        for _ in range(self.depth):
+            for _ in range(self.resnet_blocks):
+                h = ResBlock(ch, kernel_size=self.kernel_size, dtype=self.dtype,
+                             name=f"res_{idx}")(h)
+                idx += 1
+            h = Downsample(ch, out_channels=ch * 2, factor=self.downsample_factor,
+                           dtype=self.dtype, name=f"down_{idx}")(h)
+            idx += 1
+            ch *= 2
+        h = GroupNorm32(ch)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.embedding_dim, (1,), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="final")(h)
+        for i in range(self.attn_blocks):
+            h = AttentionBlock(self.embedding_dim, self.num_attn_heads,
+                               dtype=self.dtype, name=f"attn_{i}")(h)
+        return h[:, 0]

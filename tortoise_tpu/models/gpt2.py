@@ -1,0 +1,147 @@
+"""GPT-2 decoder stack with a preallocated KV cache, flax.linen.
+
+Semantically equivalent to the HF ``GPT2Model`` the reference builds its
+UnifiedVoice on (reference: tortoise/models/autoregressive.py:246-266 with
+``wpe``/``wte`` deleted — position information comes entirely from the learned
+per-modality embeddings added to the input), but engineered for TPU decode:
+
+* one fused qkv projection feeding an f32-softmax attention,
+* a functional KV cache — a pytree of (L, B, H, T_max, Dh) buffers updated
+  with ``lax.dynamic_update_slice`` — designed to live inside ``lax.scan``
+  decode loops with fully static shapes,
+* bfloat16 compute / float32 params by default.
+
+The HF details that matter for checkpoint parity are kept: LayerNorm eps
+1e-5, gelu_new (tanh) MLP, pre-LN blocks, and a final ``ln_f``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    n_layer: int = 30
+    n_embd: int = 1024
+    n_head: int = 16
+    ln_eps: float = 1e-5
+
+
+def gelu_new(x):
+    # HF "gelu_new": tanh approximation used by GPT-2.
+    return 0.5 * x * (1.0 + jnp.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+class GPT2Attention(nn.Module):
+    config: GPT2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, layer_cache=None, cache_index=None, attn_bias=None):
+        """x: (B, T, C). If ``layer_cache`` is given (dict k/v of shape
+        (B, H, T_max, Dh)), keys/values are written at ``cache_index`` and
+        attention runs over the whole cache with an index-validity mask;
+        otherwise plain causal attention over x.
+        Returns (out, new_layer_cache)."""
+        cfg = self.config
+        b, t, c = x.shape
+        h, dh = cfg.n_head, c // cfg.n_head
+        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="c_attn")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)  # (B,H,T,Dh)
+        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+
+        if layer_cache is not None:
+            ck = jax.lax.dynamic_update_slice(layer_cache["k"], k.astype(layer_cache["k"].dtype),
+                                              (0, 0, cache_index, 0))
+            cv = jax.lax.dynamic_update_slice(layer_cache["v"], v.astype(layer_cache["v"].dtype),
+                                              (0, 0, cache_index, 0))
+            t_max = ck.shape[2]
+            key_pos = jnp.arange(t_max)[None, :]                     # (1, T_max)
+            query_pos = cache_index + jnp.arange(t)[:, None]         # (T, 1)
+            mask = key_pos <= query_pos                              # causal within cache
+            logits = jnp.einsum("bhtd,bhsd->bhts", q, ck.astype(self.dtype),
+                                preferred_element_type=jnp.float32) / np.sqrt(dh)
+            logits = jnp.where(mask[None, None], logits, NEG_INF)
+            if attn_bias is not None:
+                logits = logits + attn_bias
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhts,bhsd->bhtd", w, cv.astype(self.dtype))
+            new_cache = {"k": ck, "v": cv}
+        else:
+            mask = jnp.tril(jnp.ones((t, t), dtype=bool))
+            logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                                preferred_element_type=jnp.float32) / np.sqrt(dh)
+            logits = jnp.where(mask[None, None], logits, NEG_INF)
+            if attn_bias is not None:
+                logits = logits + attn_bias
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhts,bhsd->bhtd", w, v)
+            new_cache = None
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+        out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj")(out)
+        return out, new_cache
+
+
+class GPT2Block(nn.Module):
+    config: GPT2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, layer_cache=None, cache_index=None):
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="ln_1")(x.astype(jnp.float32)).astype(self.dtype)
+        attn_out, new_cache = GPT2Attention(cfg, dtype=self.dtype, name="attn")(
+            h, layer_cache=layer_cache, cache_index=cache_index)
+        x = x + attn_out
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="ln_2")(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dense(4 * cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_fc")(h)
+        h = gelu_new(h)
+        h = nn.Dense(cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_proj")(h)
+        return x + h, new_cache
+
+
+class GPT2Stack(nn.Module):
+    """N transformer blocks + final ln_f. Call with embeddings (positions are
+    the caller's responsibility, mirroring the reference's nulled wpe)."""
+    config: GPT2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb, *, cache=None, cache_index=None):
+        cfg = self.config
+        x = emb.astype(self.dtype)
+        new_cache = []
+        for i in range(cfg.n_layer):
+            layer_cache = None if cache is None else jax.tree.map(lambda a: a[i], cache)
+            x, lc = GPT2Block(cfg, dtype=self.dtype, name=f"h_{i}")(
+                x, layer_cache=layer_cache, cache_index=cache_index)
+            if lc is not None:
+                new_cache.append(lc)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="ln_f")(x.astype(jnp.float32)).astype(self.dtype)
+        if cache is None:
+            return x, None
+        stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *new_cache)
+        return x, stacked
+
+
+def init_kv_cache(config: GPT2Config, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> dict[str, jnp.ndarray]:
+    dh = config.n_embd // config.n_head
+    shape = (config.n_layer, batch, config.n_head, max_len, dh)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

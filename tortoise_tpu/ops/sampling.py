@@ -1,0 +1,92 @@
+"""Logit processors/warpers for autoregressive sampling, as pure JAX ops.
+
+Implements the subset of HF ``generate`` semantics the reference actually
+uses (reference: tortoise/models/autoregressive.py:535-563 via HF generate;
+knobs from tortoise/api.py:416-423 and api_fast.py:484-495), knob-for-knob:
+
+order: repetition_penalty -> [typical] -> temperature -> top_k -> top_p.
+
+All operate on (B, V) float32 logits and are fully batched/jittable.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -float("inf")
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, seen: jnp.ndarray,
+                             penalty: float) -> jnp.ndarray:
+    """HF RepetitionPenaltyLogitsProcessor: for every token id already present
+    in the sequence (``seen``: bool (B, V)), divide positive scores by
+    ``penalty`` and multiply negative scores by it."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def apply_temperature(logits: jnp.ndarray, temperature: float) -> jnp.ndarray:
+    if temperature == 1.0:
+        return logits
+    return logits / temperature
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the top-k scores, mask the rest to -inf (HF TopKLogitsWarper)."""
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filtering with exact HF TopPLogitsWarper semantics: ascending
+    sort, remove tokens whose cumulative probability is <= 1 - p, always keep
+    at least one token."""
+    if top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    remove_sorted = cum <= (1.0 - top_p)
+    remove_sorted = remove_sorted.at[..., -1].set(False)  # min_tokens_to_keep=1
+    # Map the per-rank removal decision back to token ids: a token is removed
+    # iff its position in the ascending sort is removed. Equivalent threshold
+    # formulation: find the largest sorted logit that is removed and cut
+    # everything <= it (ties collapse identically to the gather/scatter).
+    threshold = jnp.max(jnp.where(remove_sorted, sorted_logits, NEG_INF), axis=-1, keepdims=True)
+    return jnp.where(logits <= threshold, NEG_INF, logits)
+
+
+def apply_typical(logits: jnp.ndarray, mass: float = 0.9) -> jnp.ndarray:
+    """Typical sampling (reference tortoise/utils/typical_sampling.py:5-33):
+    rank tokens by |−log p − entropy| ascending, keep the smallest prefix
+    whose cumulative probability reaches ``mass``."""
+    normalized = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(normalized)
+    ent = -jnp.sum(jnp.where(p > 0, normalized * p, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-normalized - ent)
+    order = jnp.argsort(shifted, axis=-1)  # ascending
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    last_ind = jnp.sum((cum < mass).astype(jnp.int32), axis=-1, keepdims=True)
+    sorted_shifted = jnp.take_along_axis(shifted, order, axis=-1)
+    cutoff = jnp.take_along_axis(sorted_shifted, last_ind, axis=-1)
+    return jnp.where(shifted > cutoff, NEG_INF, logits)
+
+
+def process_logits(logits: jnp.ndarray, seen: jnp.ndarray, *,
+                   repetition_penalty: float = 2.0, temperature: float = 0.8,
+                   top_k: int = 50, top_p: float = 0.8,
+                   typical_mass: float | None = None) -> jnp.ndarray:
+    """Full warper chain in HF order."""
+    logits = logits.astype(jnp.float32)
+    logits = apply_repetition_penalty(logits, seen, repetition_penalty)
+    if typical_mass is not None:
+        logits = apply_typical(logits, typical_mass)
+    logits = apply_temperature(logits, temperature)
+    logits = apply_top_k(logits, top_k)
+    logits = apply_top_p(logits, top_p)
+    return logits
