@@ -1,0 +1,66 @@
+"""End-to-end fast path on random weights (shapes/streaming semantics)."""
+import warnings
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tortoise_tpu.api_fast import TextToSpeechFast, _expected_samples, handle_chunks
+from tortoise_tpu.models.autoregressive import UnifiedVoiceConfig
+
+
+@pytest.fixture(scope="module")
+def tts():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return TextToSpeechFast(
+            dtype=jnp.float32,
+            ar_config=UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                                         max_text_tokens=60, max_mel_tokens=80),
+            latent_bucket=16)
+
+
+def test_tts_shapes_and_determinism(tts):
+    wav = tts.tts("Hello there, this is a test.", use_deterministic_seed=5,
+                  max_mel_tokens=48, verbose=False)
+    assert wav.ndim == 3 and wav.shape[0] == 1 and wav.shape[1] == 1
+    assert wav.shape[2] % 256 == 0 and wav.shape[2] > 0
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+
+    wav2 = tts.tts("Hello there, this is a test.", use_deterministic_seed=5,
+                   max_mel_tokens=48, verbose=False)
+    np.testing.assert_array_equal(wav, wav2)
+
+
+def test_tts_stream_concatenates_to_full_clip(tts):
+    chunks = list(tts.tts_stream("Another streaming test sentence.",
+                                 use_deterministic_seed=7, max_mel_tokens=48,
+                                 stream_chunk_size=8, verbose=False))
+    assert len(chunks) >= 1
+    total = np.concatenate(chunks)
+    assert np.isfinite(total).all()
+    # stream covers (nearly) the full clip: the final overlap tail is retained
+    wav = tts.tts("Another streaming test sentence.", use_deterministic_seed=7,
+                  max_mel_tokens=48, verbose=False)
+    assert abs(total.shape[0] - wav.shape[2]) <= 1024
+
+
+def test_expected_samples_matches_interp_chain():
+    import math
+
+    for n in (1, 7, 40, 500):
+        up1 = math.floor(n * 1024 / 256)
+        up2 = math.floor(up1 * 24000 / 22050)
+        assert _expected_samples(n) == up2 * 256
+
+
+def test_handle_chunks_crossfade_reference_semantics():
+    wav1 = np.ones(4096, np.float32)
+    c1, prev, ov = handle_chunks(wav1, None, None, 1024)
+    assert len(c1) == 4096 - 1024 and ov is not None and len(ov) == 1024
+    wav2 = np.ones(8192, np.float32) * 2
+    c2, prev, ov = handle_chunks(wav2, prev, ov, 1024)
+    # first 1024 samples crossfade 1 -> 2
+    assert c2[0] == pytest.approx(1.0, abs=1e-2)
+    assert c2[1023] == pytest.approx(2.0, abs=1e-2)

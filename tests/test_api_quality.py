@@ -1,0 +1,76 @@
+"""End-to-end quality path on random weights (tiny config): shapes, presets,
+candidate selection plumbing."""
+import warnings
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tortoise_tpu.api import (TextToSpeech, calm_token_trim_length,
+                              fix_autoregressive_output)
+from tortoise_tpu.models.autoregressive import UnifiedVoiceConfig
+from tortoise_tpu.models.clvp import CLVPConfig
+from tortoise_tpu.models.diffusion_decoder import DiffusionTtsConfig
+
+
+def test_fix_autoregressive_output_reference_semantics():
+    codes = np.array([5, 7, 8193, 9, 8193, 11], dtype=np.int32)
+    fixed = fix_autoregressive_output(codes, 8193, complain=False)
+    # stop tokens -> 83, everything from the first stop onward -> 83,
+    # then the forced tail 45,45,248
+    assert fixed[0] == 5 and fixed[1] == 7
+    assert fixed[2] == 83
+    np.testing.assert_array_equal(fixed[-3:], [45, 45, 248])
+    # no stop tokens: unchanged
+    codes2 = np.array([1, 2, 3], dtype=np.int32)
+    np.testing.assert_array_equal(fix_autoregressive_output(codes2, 8193, False), codes2)
+
+
+def test_calm_token_trim():
+    codes = np.concatenate([np.arange(10), np.full(20, 83)])
+    n = calm_token_trim_length(codes)
+    assert n == 18  # 9th consecutive calm token at index 10+8
+    assert calm_token_trim_length(np.arange(30)) == 30
+
+
+@pytest.fixture(scope="module")
+def tts():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return TextToSpeech(
+            autoregressive_batch_size=2, half=False,
+            ar_config=UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                                         max_text_tokens=60, max_mel_tokens=80),
+            diffusion_config=DiffusionTtsConfig(model_channels=128, num_layers=2,
+                                                in_latent_channels=128, num_heads=4),
+            clvp_config=CLVPConfig(dim_text=128, dim_speech=128, dim_latent=128,
+                                   text_enc_depth=2, text_heads=4,
+                                   speech_enc_depth=2, speech_heads=4))
+
+
+def test_quality_tts_end_to_end(tts):
+    wav = tts.tts("A tiny end to end test.", num_autoregressive_samples=2,
+                  diffusion_iterations=4, cond_free=True, max_mel_tokens=32,
+                  use_deterministic_seed=11, verbose=False)
+    assert wav.ndim == 3 and wav.shape[:2] == (1, 1)
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+
+
+def test_quality_tts_k2_and_conditioning(tts):
+    rng = np.random.default_rng(0)
+    clip = (rng.standard_normal((1, 22050)) * 0.1).astype(np.float32)
+    wavs = tts.tts("Short.", voice_samples=[clip, clip.copy()], k=2,
+                   num_autoregressive_samples=2, diffusion_iterations=2,
+                   cond_free=False, max_mel_tokens=24, use_deterministic_seed=3,
+                   verbose=False)
+    assert isinstance(wavs, list) and len(wavs) == 2
+    for w in wavs:
+        assert np.isfinite(w).all()
+
+
+def test_random_voice_latents(tts):
+    a, d = tts.get_random_conditioning_latents(seed=4)
+    assert a.shape == (1, 128) and d.shape == (1, 256)
+    a2, _ = tts.get_random_conditioning_latents(seed=4)
+    np.testing.assert_array_equal(a, a2)

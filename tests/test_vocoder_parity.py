@@ -1,0 +1,79 @@
+"""UnivNet vocoder parity vs the torch reference (random weights)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ref_loader import has_reference, load_ref_module
+
+from tortoise_tpu.convert.torch_import import univnet_params
+from tortoise_tpu.models.vocoder import (UnivNetConfig, UnivNetGenerator,
+                                         location_variable_convolution)
+
+pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+
+
+def test_lvc_op_matches_reference():
+    import torch
+
+    ref_mod = load_ref_module("tortoise.models.vocoder")
+    torch.manual_seed(0)
+    blk = ref_mod.LVCBlock(8, 100, stride=2, cond_hop_length=4)
+    rng = np.random.default_rng(0)
+    hop, frames, ci, co, k = 4, 6, 8, 16, 3
+    x = rng.standard_normal((2, ci, frames * hop)).astype(np.float32)
+    kern = rng.standard_normal((2, ci, co, k, frames)).astype(np.float32)
+    bias = rng.standard_normal((2, co, frames)).astype(np.float32)
+    with torch.no_grad():
+        theirs = blk.location_variable_convolution(
+            torch.from_numpy(x), torch.from_numpy(kern), torch.from_numpy(bias),
+            hop_size=hop).numpy()
+    got = np.asarray(location_variable_convolution(
+        jnp.asarray(x.transpose(0, 2, 1)),
+        jnp.asarray(kern.transpose(0, 4, 1, 2, 3)),
+        jnp.asarray(bias.transpose(0, 2, 1)), hop))
+    np.testing.assert_allclose(got.transpose(0, 2, 1), theirs, rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def models():
+    import torch
+
+    ref_mod = load_ref_module("tortoise.models.vocoder")
+    torch.manual_seed(0)
+    ref = ref_mod.UnivNetGenerator()
+    ref.eval(inference=False)
+    cfg = UnivNetConfig()
+    ours = UnivNetGenerator(cfg)
+    return ref, ours, {"params": univnet_params(ref.state_dict())}
+
+
+def test_forward_parity(models):
+    import torch
+
+    ref, ours, variables = models
+    rng = np.random.default_rng(1)
+    c = rng.standard_normal((2, 100, 12)).astype(np.float32)
+    z = rng.standard_normal((2, 64, 12)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(c), torch.from_numpy(z)).numpy()
+    got = np.asarray(ours.apply(variables, jnp.asarray(c.transpose(0, 2, 1)),
+                                jnp.asarray(z.transpose(0, 2, 1))))
+    assert got.shape == (2, 12 * 256, 1)
+    np.testing.assert_allclose(got.transpose(0, 2, 1), theirs, rtol=2e-3, atol=2e-3)
+
+
+def test_inference_trim_and_clamp(models):
+    import torch
+
+    ref, ours, variables = models
+    rng = np.random.default_rng(2)
+    c = rng.standard_normal((1, 100, 8)).astype(np.float32)
+    z = rng.standard_normal((1, 64, 18)).astype(np.float32)  # 8 + 10 pad frames
+    with torch.no_grad():
+        theirs = ref.inference(torch.from_numpy(c), torch.from_numpy(z)).numpy()
+    got = np.asarray(ours.apply(variables, jnp.asarray(c.transpose(0, 2, 1)),
+                                jnp.asarray(z.transpose(0, 2, 1)),
+                                method=UnivNetGenerator.inference))
+    assert got.shape[1] == 8 * 256
+    np.testing.assert_allclose(got.transpose(0, 2, 1), theirs, rtol=2e-3, atol=2e-3)

@@ -1,0 +1,415 @@
+"""Quality TTS pipeline: AR sampling -> CLVP/CVVP re-rank -> diffusion -> UnivNet.
+
+TPU-native equivalent of the reference orchestrator
+(reference: tortoise/api.py:174-609). Design differences, all TPU-motivated:
+
+* every model is resident and jit-compiled — no ``temporary_cuda`` weight
+  shuttling (reference api.py:245-249) and no cuda/mps code forks;
+* the AR candidate batch is sampled by ONE compiled scan program
+  (models/ar_sampler.py) and is shardable across chips (tortoise_tpu/parallel);
+* CLVP scoring is one batched matmul over all candidates
+  (models/clvp.CLVP.score_candidates) instead of a per-batch loop;
+* the diffusion loop is a compiled ``lax.scan`` with the cond/uncond CFG pair
+  batched into a single forward (diffusion/sampler.py);
+* fixed-shape everywhere: codes come back padded to ``max_mel_tokens``;
+  variable-length post-processing (stop-token repair, calm-token trimming)
+  happens host-side on tiny arrays.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tortoise_tpu import weights as weights_lib
+from tortoise_tpu.api_fast import deterministic_state, format_conditioning
+from tortoise_tpu.diffusion.sampler import SamplerConfig, make_p_sample_loop
+from tortoise_tpu.diffusion.schedule import spaced_schedule
+from tortoise_tpu.models.ar_sampler import SamplerSettings, sample_speech
+from tortoise_tpu.models.autoregressive import (UnifiedVoice, UnifiedVoiceConfig,
+                                                init_unified_voice)
+from tortoise_tpu.models.clvp import CLVP, CLVPConfig
+from tortoise_tpu.models.cvvp import CVVP, CVVPConfig
+from tortoise_tpu.models.diffusion_decoder import (DiffusionTts, DiffusionTtsConfig,
+                                                   init_diffusion_tts)
+from tortoise_tpu.models.random_latent import RandomLatentConverter, sample_random_latent
+from tortoise_tpu.models.vocoder import UnivNetConfig, UnivNetGenerator
+from tortoise_tpu.ops import mel as mel_ops
+from tortoise_tpu.presets import QUALITY_PRESETS, resolve_preset
+from tortoise_tpu.utils import audio as audio_utils
+from tortoise_tpu.utils.tokenizer import VoiceBpeTokenizer
+
+MEL_NORMS_FILE = mel_ops.__file__.replace("ops/mel.py", "data/mel_norms.npy")
+CALM_TOKEN = 83  # mel code for silence (reference api.py:409)
+
+
+def fix_autoregressive_output(codes: np.ndarray, stop_token: int,
+                              complain: bool = True) -> np.ndarray:
+    """Replace stop tokens with the calm token and force the DVAE-specific
+    tail codes 45,45,248 (reference api.py:87-114)."""
+    idx = np.where(codes == stop_token)[0]
+    if len(idx) == 0:
+        if complain:
+            print("No stop tokens found in one of the generated voice clips. This "
+                  "typically means the spoken audio is too long. In some cases, the "
+                  "output will still be good, though. Listen to it and if it is "
+                  "missing words, try breaking up your input text.")
+        return codes
+    codes = codes.copy()
+    codes[idx] = CALM_TOKEN
+    stm = int(idx.min())
+    codes[stm:] = CALM_TOKEN
+    if stm - 3 < codes.shape[0]:
+        codes[-3] = 45
+        codes[-2] = 45
+        codes[-1] = 248
+    return codes
+
+
+def calm_token_trim_length(codes: np.ndarray) -> int:
+    """Latent length up to the point where >8 consecutive calm tokens appear
+    (reference api.py:547-556)."""
+    ctokens = 0
+    for k in range(codes.shape[-1]):
+        ctokens = ctokens + 1 if codes[k] == CALM_TOKEN else 0
+        if ctokens > 8:
+            return k
+    return codes.shape[-1]
+
+
+class TextToSpeech:
+    """Quality-path orchestrator (reference api.TextToSpeech)."""
+
+    def __init__(self, autoregressive_batch_size=None, models_dir=None,
+                 enable_redaction=False, kv_cache=True, half=True, device=None,
+                 tokenizer_vocab_file=None, tokenizer_basic=False,
+                 allow_random_weights=True,
+                 ar_config: UnifiedVoiceConfig | None = None,
+                 diffusion_config: DiffusionTtsConfig | None = None,
+                 clvp_config: CLVPConfig | None = None):
+        # kv_cache/half/device kept for reference API compatibility; the TPU
+        # build always uses a KV cache and bf16 compute when half=True.
+        del kv_cache, device
+        self.autoregressive_batch_size = autoregressive_batch_size or 16
+        self.dtype = jnp.bfloat16 if half else jnp.float32
+        self.enable_redaction = enable_redaction
+        self.aligner = None
+        if enable_redaction:
+            from tortoise_tpu.utils.wav2vec_alignment import Wav2VecAlignment
+
+            self.aligner = Wav2VecAlignment()
+        self.tokenizer = VoiceBpeTokenizer(vocab_file=tokenizer_vocab_file,
+                                           use_basic_cleaners=tokenizer_basic)
+        self.mel_norms = mel_ops.load_mel_norms(MEL_NORMS_FILE)
+        self._models_dir = models_dir
+        self._allow_random = allow_random_weights
+
+        cfg = ar_config or UnifiedVoiceConfig()
+        self.ar_cfg = cfg
+        self.autoregressive = UnifiedVoice(cfg, dtype=self.dtype)
+        p, self.ar_source = weights_lib.get_params(
+            "autoregressive",
+            lambda: init_unified_voice(self.autoregressive, jax.random.PRNGKey(0))["params"],
+            models_dir, allow_random=allow_random_weights)
+        self.ar_vars = {"params": p}
+
+        dcfg = diffusion_config or DiffusionTtsConfig(
+            in_latent_channels=cfg.model_dim)
+        self.diff_cfg = dcfg
+        self.diffusion = DiffusionTts(dcfg, dtype=self.dtype)
+        p, self.diffusion_source = weights_lib.get_params(
+            "diffusion_decoder",
+            lambda: init_diffusion_tts(self.diffusion, jax.random.PRNGKey(1))["params"],
+            models_dir, allow_random=allow_random_weights)
+        self.diffusion_vars = {"params": p}
+
+        ccfg = clvp_config or CLVPConfig()
+        self.clvp = CLVP(ccfg, dtype=self.dtype)
+        p, self.clvp_source = weights_lib.get_params(
+            "clvp",
+            lambda: self.clvp.init(jax.random.PRNGKey(2),
+                                   jnp.zeros((1, 4), jnp.int32),
+                                   jnp.zeros((1, 4), jnp.int32))["params"],
+            models_dir, allow_random=allow_random_weights)
+        self.clvp_vars = {"params": p}
+        self.cvvp = None  # lazily loaded (reference api.py:234)
+        self.cvvp_vars = None
+
+        self.vocoder = UnivNetGenerator(UnivNetConfig(), dtype=jnp.float32)
+        p, self.vocoder_source = weights_lib.get_params(
+            "vocoder",
+            lambda: self.vocoder.init(jax.random.PRNGKey(3),
+                                      jnp.zeros((1, 12, 100)),
+                                      jnp.zeros((1, 12, 64)))["params"],
+            models_dir, allow_random=allow_random_weights)
+        self.vocoder_vars = {"params": p}
+
+        self.rlg_auto = None
+        self.rlg_diffusion = None
+
+        self._diffusion_loops = {}  # (steps, cond_free, cond_free_k) -> loop
+
+        # jitted building blocks ---------------------------------------
+        @jax.jit
+        def _ar_conditioning(mels):
+            return self.autoregressive.apply(self.ar_vars, mels,
+                                             method=UnifiedVoice.get_conditioning)
+
+        @jax.jit
+        def _diff_conditioning(mels):
+            return self.diffusion.apply(self.diffusion_vars, mels,
+                                        method=DiffusionTts.get_conditioning)
+
+        @jax.jit
+        def _clvp_scores(text, codes):
+            return self.clvp.apply(self.clvp_vars, text, codes,
+                                   method=CLVP.score_candidates)
+
+        @jax.jit
+        def _relatent(cond, text, codes):
+            return self.autoregressive.apply(
+                self.ar_vars, cond, text, codes,
+                jnp.full((codes.shape[0],),
+                         codes.shape[1] * cfg.mel_length_compression),
+                return_latent=True)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _timestep_independent(latents, diff_cond, out_len):
+            return self.diffusion.apply(self.diffusion_vars, latents, diff_cond,
+                                        out_len,
+                                        method=DiffusionTts.timestep_independent)
+
+        @jax.jit
+        def _vocode(mel, z):
+            return self.vocoder.apply(self.vocoder_vars, mel, z,
+                                      method=UnivNetGenerator.inference)
+
+        self._ar_conditioning = _ar_conditioning
+        self._diff_conditioning = _diff_conditioning
+        self._clvp_scores = _clvp_scores
+        self._relatent = _relatent
+        self._timestep_independent = _timestep_independent
+        self._vocode = _vocode
+
+    # ------------------------------------------------------------------
+    def load_cvvp(self):
+        """Lazy CVVP load (reference api.py:252-256)."""
+        self.cvvp = CVVP(CVVPConfig(), dtype=self.dtype)
+        p, _ = weights_lib.get_params(
+            "cvvp",
+            lambda: self.cvvp.init(jax.random.PRNGKey(4),
+                                   jnp.zeros((1, 16, 80)),
+                                   jnp.zeros((1, 8), jnp.int32))["params"],
+            self._models_dir, allow_random=self._allow_random)
+        self.cvvp_vars = {"params": p}
+
+        @jax.jit
+        def _cvvp_scores(mel_cond, codes):
+            return self.cvvp.apply(self.cvvp_vars, mel_cond, codes)
+
+        self._cvvp_scores = _cvvp_scores
+
+    # ------------------------------------------------------------------
+    def get_conditioning_latents(self, voice_samples, return_mels=False):
+        """Reference clips -> (AR latent (1, D), diffusion latent (1, 2D))
+        (reference api.py:258-299)."""
+        voice_samples = [np.asarray(v) for v in voice_samples]
+        auto_conds = np.stack(
+            [format_conditioning(v, mel_norms=self.mel_norms) for v in voice_samples],
+            axis=1)  # (1, n, T, 80)
+        auto_latent = np.asarray(self._ar_conditioning(jnp.asarray(auto_conds)))
+
+        diffusion_conds = []
+        for v in voice_samples:
+            s = audio_utils.resample(v, 22050, 24000)
+            s = audio_utils.pad_or_truncate(s, 102400)
+            cond_mel = mel_ops.univnet_mel(jnp.asarray(s), do_normalization=False)
+            diffusion_conds.append(np.asarray(jnp.swapaxes(cond_mel, 1, 2)))
+        diffusion_conds = np.stack(diffusion_conds, axis=1)  # (1, n, T, 100)
+        diffusion_latent = np.asarray(self._diff_conditioning(jnp.asarray(diffusion_conds)))
+
+        if return_mels:
+            return auto_latent, diffusion_latent, auto_conds, diffusion_conds
+        return auto_latent, diffusion_latent
+
+    def get_random_conditioning_latents(self, seed: int = 0):
+        """(reference api.py:301-309)."""
+        if self.rlg_auto is None:
+            d = self.ar_cfg.model_dim
+            self.rlg_auto = RandomLatentConverter(d)
+            p, _ = weights_lib.get_params(
+                "rlg_auto", lambda: self.rlg_auto.init(
+                    jax.random.PRNGKey(5), jnp.zeros((1, d)))["params"],
+                self._models_dir, allow_random=self._allow_random)
+            self._rlg_auto_vars = {"params": p}
+            self.rlg_diffusion = RandomLatentConverter(2 * d)
+            p, _ = weights_lib.get_params(
+                "rlg_diffuser", lambda: self.rlg_diffusion.init(
+                    jax.random.PRNGKey(6), jnp.zeros((1, 2 * d)))["params"],
+                self._models_dir, allow_random=self._allow_random)
+            self._rlg_diff_vars = {"params": p}
+        r1, r2 = jax.random.split(jax.random.PRNGKey(seed))
+        return (np.asarray(sample_random_latent(self.rlg_auto, self._rlg_auto_vars, r1)),
+                np.asarray(sample_random_latent(self.rlg_diffusion, self._rlg_diff_vars, r2)))
+
+    # ------------------------------------------------------------------
+    def _diffusion_loop(self, steps: int, cond_free: bool, cond_free_k: float):
+        key = (steps, cond_free, cond_free_k)
+        if key not in self._diffusion_loops:
+            schedule = spaced_schedule("linear", 4000, steps)
+            model = self.diffusion
+            variables = self.diffusion_vars
+
+            def model_fn(x, t, pre_cond, doubled):
+                if doubled:
+                    return model.apply(variables, x, t,
+                                       precomputed_aligned_embeddings=pre_cond)
+                return model.apply(variables, x, t,
+                                   precomputed_aligned_embeddings=pre_cond)
+
+            self._diffusion_loops[key] = make_p_sample_loop(
+                model_fn, schedule,
+                SamplerConfig(cond_free=cond_free, cond_free_k=cond_free_k))
+        return self._diffusion_loops[key]
+
+    def do_spectrogram_diffusion(self, latents, diffusion_conditioning, *,
+                                 diffusion_iterations, cond_free, cond_free_k,
+                                 temperature, rng):
+        """Latents (1, n, D) -> denormalized mel (1, 100, out_len)
+        (reference api.py:117-130)."""
+        out_len = latents.shape[1] * 4 * 24000 // 22050
+        pre = self._timestep_independent(jnp.asarray(latents),
+                                         jnp.asarray(diffusion_conditioning), out_len)
+        if cond_free:
+            uncond = jnp.broadcast_to(
+                self.diffusion_vars["params"]["unconditioned_embedding"].astype(pre.dtype),
+                pre.shape)
+            pre_cond = jnp.concatenate([pre, uncond], axis=0)
+        else:
+            pre_cond = pre
+        rng, r = jax.random.split(rng)
+        noise = jax.random.normal(r, (latents.shape[0], out_len, 100)) * temperature
+        loop = self._diffusion_loop(diffusion_iterations, cond_free, cond_free_k)
+        mel = loop(pre_cond, noise, rng)  # (1, out_len, 100)
+        mel = mel_ops.denormalize_tacotron_mel(mel)
+        return jnp.swapaxes(mel, 1, 2)[:, :, :out_len]
+
+    # ------------------------------------------------------------------
+    def tts_with_preset(self, text, preset="fast", **kwargs):
+        settings = resolve_preset(preset, QUALITY_PRESETS, **kwargs)
+        return self.tts(text, **settings)
+
+    def tts(self, text, voice_samples=None, conditioning_latents=None, k=1,
+            verbose=True, use_deterministic_seed=None, return_deterministic_state=False,
+            num_autoregressive_samples=512, temperature=0.8, length_penalty=1.0,
+            repetition_penalty=2.0, top_p=0.8, max_mel_tokens=500,
+            cvvp_amount=0.0, diffusion_iterations=100, cond_free=True,
+            cond_free_k=2.0, diffusion_temperature=1.0, **unused_hf_kwargs):
+        """Full quality pipeline (reference api.py:334-597). Returns a float32
+        (1, 1, S) wav at 24 kHz, or a list of k wavs."""
+        det_seed = deterministic_state(use_deterministic_seed)
+        rng = jax.random.PRNGKey(det_seed)
+
+        ids = self.tokenizer.encode(text)
+        text_tokens = np.pad(np.asarray(ids, np.int32)[None], ((0, 0), (0, 1)))
+        assert text_tokens.shape[-1] < 400, (
+            "Too much text provided. Break the text up into separate segments "
+            "and re-try inference.")
+
+        auto_conds = None
+        if voice_samples is not None:
+            auto_conditioning, diffusion_conditioning, auto_conds, _ = \
+                self.get_conditioning_latents(voice_samples, return_mels=True)
+        elif conditioning_latents is not None:
+            auto_conditioning, diffusion_conditioning = conditioning_latents
+        else:
+            auto_conditioning, diffusion_conditioning = \
+                self.get_random_conditioning_latents(det_seed)
+        auto_conditioning = np.asarray(auto_conditioning)
+        diffusion_conditioning = np.asarray(diffusion_conditioning)
+
+        stop_token = self.ar_cfg.stop_mel_token
+
+        # 1) AR candidate sampling — batched compiled scan ----------------
+        if verbose:
+            print("Generating autoregressive samples..")
+        settings = SamplerSettings(temperature=temperature, top_k=50, top_p=top_p,
+                                   repetition_penalty=repetition_penalty,
+                                   max_generate=max_mel_tokens)
+        num_batches = max(1, num_autoregressive_samples // self.autoregressive_batch_size)
+        bs = min(num_autoregressive_samples, self.autoregressive_batch_size)
+        samples = []
+        for _ in range(num_batches):
+            rng, r = jax.random.split(rng)
+            codes, _ = sample_speech(self.autoregressive, self.ar_vars,
+                                     jnp.asarray(auto_conditioning),
+                                     jnp.asarray(text_tokens), r, num_samples=bs,
+                                     settings=settings)
+            samples.append(np.asarray(codes))
+        samples = np.concatenate(samples, axis=0)  # (N, max_mel_tokens)
+
+        # 2) stop-token repair + CLVP/CVVP re-ranking ---------------------
+        if verbose:
+            print("Computing best candidates using CLVP" +
+                  ("" if cvvp_amount == 0 else f" {(1 - cvvp_amount) * 100:2.0f}% and "
+                                               f"CVVP {cvvp_amount * 100:2.0f}%"))
+        fixed = np.stack([fix_autoregressive_output(s, stop_token, complain=verbose)
+                          for s in samples])
+        if cvvp_amount != 1:
+            clvp_scores = np.asarray(self._clvp_scores(jnp.asarray(text_tokens),
+                                                       jnp.asarray(fixed)))
+        if auto_conds is not None and cvvp_amount > 0:
+            if self.cvvp is None:
+                self.load_cvvp()
+            acc = 0.0
+            for cl in range(auto_conds.shape[1]):
+                mel_cond = jnp.asarray(np.repeat(auto_conds[:, cl], len(fixed), axis=0))
+                acc = acc + np.asarray(self._cvvp_scores(mel_cond, jnp.asarray(fixed)))
+            cvvp_scores = acc / auto_conds.shape[1]
+            clip_results = cvvp_scores if cvvp_amount == 1 else \
+                cvvp_scores * cvvp_amount + clvp_scores * (1 - cvvp_amount)
+        else:
+            clip_results = clvp_scores
+        best_idx = np.argsort(clip_results)[::-1][:k]
+        best_results = fixed[best_idx]  # (k, max_mel_tokens)
+
+        # 3) latent re-extraction for the winners -------------------------
+        best_latents = np.asarray(self._relatent(
+            jnp.asarray(np.repeat(auto_conditioning, k, axis=0)),
+            jnp.asarray(np.repeat(text_tokens, k, axis=0)),
+            jnp.asarray(best_results)))
+
+        # 4) per-candidate diffusion + vocoding ---------------------------
+        if verbose:
+            print("Transforming autoregressive outputs into audio..")
+        wav_candidates = []
+        for b in range(best_results.shape[0]):
+            codes_b = best_results[b]
+            n = calm_token_trim_length(codes_b)
+            latents = best_latents[b:b + 1, :n].astype(np.float32)
+            rng, r1, r2 = jax.random.split(rng, 3)
+            mel = self.do_spectrogram_diffusion(
+                latents, diffusion_conditioning,
+                diffusion_iterations=diffusion_iterations, cond_free=cond_free,
+                cond_free_k=cond_free_k, temperature=diffusion_temperature, rng=r1)
+            mel_btc = jnp.swapaxes(mel, 1, 2)  # (1, F, 100)
+            z = jax.random.normal(r2, (1, mel_btc.shape[1] + 10,
+                                       self.vocoder.config.noise_dim))
+            wav = np.asarray(self._vocode(mel_btc, z))  # (1, S, 1)
+            wav_candidates.append(wav[:, :, 0][:, None, :])
+
+        def potentially_redact(clip, text):
+            if self.enable_redaction and self.aligner is not None:
+                return self.aligner.redact(clip[0], text)[None]
+            return clip
+
+        wav_candidates = [potentially_redact(w, text) for w in wav_candidates]
+        res = wav_candidates if len(wav_candidates) > 1 else wav_candidates[0]
+        if return_deterministic_state:
+            return res, (det_seed, text, voice_samples, conditioning_latents)
+        return res
+
+    def deterministic_state(self, seed=None):
+        return deterministic_state(seed)

@@ -1,0 +1,287 @@
+"""Fast / streaming TTS pipeline: AR prior + HiFi-GAN decoder.
+
+TPU-native equivalent of the reference fast path
+(reference: tortoise/api_fast.py:173-515): tokenize -> conditioning latent ->
+single-candidate AR decode -> latent re-extraction -> HiFi-GAN -> 24 kHz wav,
+plus a chunked streaming generator with crossfade.
+
+Design differences from the reference (all TPU-motivated):
+* models are resident and jit-compiled once — no CPU<->GPU shuttling;
+* the AR decode is one compiled scan (models/ar_sampler.py) instead of a
+  per-token HF generate loop;
+* fixed-shape compute: codes/latents come back padded to ``max_mel_tokens``
+  and are sliced host-side, so every sentence reuses the same compiled
+  programs (the decoder buckets latent lengths to avoid recompiles);
+* streaming decodes an incremental latent window instead of re-decoding the
+  entire accumulated latent per chunk (the reference is O(n^2) in clip
+  length, api_fast.py:413).
+"""
+from __future__ import annotations
+
+import functools
+import random as _random
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tortoise_tpu import weights as weights_lib
+from tortoise_tpu.models.ar_sampler import SamplerSettings, sample_speech
+from tortoise_tpu.models.autoregressive import (UnifiedVoice, UnifiedVoiceConfig,
+                                                init_unified_voice)
+from tortoise_tpu.models.hifigan import HifiganConfig, HifiganGenerator
+from tortoise_tpu.models.random_latent import RandomLatentConverter, sample_random_latent
+from tortoise_tpu.ops import mel as mel_ops
+from tortoise_tpu.presets import FAST_PRESETS, resolve_preset
+from tortoise_tpu.utils.tokenizer import VoiceBpeTokenizer
+
+MEL_NORMS_FILE = mel_ops.__file__.replace("ops/mel.py", "data/mel_norms.npy")
+
+
+def deterministic_state(seed=None) -> int:
+    """Seed host-side randomness; returns the seed for reproduction
+    (reference api.py:598-609)."""
+    seed = int(time.time()) if seed is None else seed
+    _random.seed(seed)
+    np.random.seed(seed & 0x7FFFFFFF)
+    return seed
+
+
+def format_conditioning(clip: np.ndarray, cond_length: int = 132300,
+                        mel_norms=None) -> np.ndarray:
+    """22.05 kHz clip (1, T) -> (1, T_mel, 80) conditioning mel
+    (reference api.py:73-84): crop/pad to 6 s then tacotron mel."""
+    gap = clip.shape[-1] - cond_length
+    if gap < 0:
+        clip = np.pad(clip, ((0, 0), (0, -gap)))
+    elif gap > 0:
+        start = _random.randint(0, gap)
+        clip = clip[:, start:start + cond_length]
+    m = mel_ops.tacotron_mel(jnp.asarray(clip), mel_norms)
+    return np.asarray(jnp.swapaxes(m, 1, 2))
+
+
+class TextToSpeechFast:
+    """Fast-path orchestrator (reference api_fast.TextToSpeech)."""
+
+    def __init__(self, models_dir=None, tokenizer_vocab_file=None,
+                 tokenizer_basic=False, dtype=jnp.bfloat16, allow_random_weights=True,
+                 ar_config: UnifiedVoiceConfig | None = None,
+                 latent_bucket: int = 64):
+        self.dtype = dtype
+        self.latent_bucket = latent_bucket
+        self.tokenizer = VoiceBpeTokenizer(vocab_file=tokenizer_vocab_file,
+                                           use_basic_cleaners=tokenizer_basic)
+        self.mel_norms = mel_ops.load_mel_norms(MEL_NORMS_FILE)
+
+        cfg = ar_config or UnifiedVoiceConfig()
+        self.autoregressive = UnifiedVoice(cfg, dtype=dtype)
+        self.ar_vars, self.ar_source = weights_lib.get_params(
+            "autoregressive",
+            lambda: init_unified_voice(self.autoregressive, jax.random.PRNGKey(0))["params"],
+            models_dir, allow_random=allow_random_weights)
+        self.ar_vars = {"params": self.ar_vars}
+
+        hifi_cfg = HifiganConfig(in_channels=cfg.model_dim, cond_channels=cfg.model_dim)
+        self.hifi_decoder = HifiganGenerator(hifi_cfg, dtype=jnp.float32)
+        self.hifi_vars, self.hifi_source = weights_lib.get_params(
+            "hifidecoder",
+            lambda: self.hifi_decoder.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.model_dim)),
+                jnp.zeros((1, cfg.model_dim)))["params"],
+            models_dir, allow_random=allow_random_weights)
+        self.hifi_vars = {"params": self.hifi_vars}
+
+        self.rlg_auto = None
+        self._rlg_vars = None
+        self._models_dir = models_dir
+        self._allow_random = allow_random_weights
+
+        cfgd = self.autoregressive.config
+
+        @jax.jit
+        def _conditioning(mels):
+            return self.autoregressive.apply(self.ar_vars, mels,
+                                             method=UnifiedVoice.get_conditioning)
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _relatent(cond, text, codes):
+            lat = self.autoregressive.apply(
+                self.ar_vars, cond, text, codes,
+                jnp.full((codes.shape[0],), codes.shape[1] * cfgd.mel_length_compression),
+                return_latent=True)
+            return lat
+
+        @jax.jit
+        def _decode_wav(latents, cond):
+            return self.hifi_decoder.apply(self.hifi_vars, latents, cond,
+                                           method=HifiganGenerator.inference)
+
+        self._conditioning = _conditioning
+        self._relatent = _relatent
+        self._decode_wav = _decode_wav
+
+    # ------------------------------------------------------------------
+    def get_conditioning_latents(self, voice_samples) -> np.ndarray:
+        """List of 22.05 kHz clips -> (1, D) AR conditioning latent
+        (reference api_fast.py:229-251)."""
+        conds = np.stack([format_conditioning(np.asarray(vs), mel_norms=self.mel_norms)
+                          for vs in voice_samples], axis=1)  # (1, n, T, 80)
+        return np.asarray(self._conditioning(jnp.asarray(conds)))
+
+    def get_random_conditioning_latents(self, seed: int = 0) -> np.ndarray:
+        if self.rlg_auto is None:
+            self.rlg_auto = RandomLatentConverter(self.autoregressive.config.model_dim)
+            params, _ = weights_lib.get_params(
+                "rlg_auto",
+                lambda: self.rlg_auto.init(jax.random.PRNGKey(2),
+                                           jnp.zeros((1, self.autoregressive.config.model_dim)))["params"],
+                self._models_dir, allow_random=self._allow_random)
+            self._rlg_vars = {"params": params}
+        return np.asarray(sample_random_latent(self.rlg_auto, self._rlg_vars,
+                                               jax.random.PRNGKey(seed)))
+
+    # ------------------------------------------------------------------
+    def _prepare(self, text, voice_samples, conditioning_latents, seed):
+        det_seed = deterministic_state(seed)
+        ids = self.tokenizer.encode(text)
+        text_tokens = np.asarray(ids, np.int32)[None, :]
+        text_tokens = np.pad(text_tokens, ((0, 0), (0, 1)))  # api-level pad
+        assert text_tokens.shape[-1] < 400, (
+            "Too much text provided. Break the text up into separate segments "
+            "and re-try inference.")
+        if voice_samples is not None:
+            cond = self.get_conditioning_latents(voice_samples)
+        elif conditioning_latents is not None:
+            cond = np.asarray(conditioning_latents)
+            if cond.ndim == 1:
+                cond = cond[None]
+        else:
+            cond = self.get_random_conditioning_latents(det_seed)
+        return det_seed, text_tokens, cond
+
+    def _trim_codes(self, codes: np.ndarray) -> int:
+        """Natural length incl. the stop token (mirrors HF generate output)."""
+        stop = self.autoregressive.config.stop_mel_token
+        idx = np.where(codes == stop)[0]
+        return int(idx[0]) + 1 if len(idx) else len(codes)
+
+    def tts_with_preset(self, text, preset="fast", **kwargs):
+        settings = resolve_preset(preset, FAST_PRESETS, **kwargs)
+        for k in ("num_autoregressive_samples", "diffusion_iterations", "cond_free",
+                  "cond_free_k", "diffusion_temperature", "length_penalty"):
+            settings.pop(k, None)
+        return self.tts(text, **settings)
+
+    def tts(self, text, voice_samples=None, conditioning_latents=None, k=1,
+            verbose=True, use_deterministic_seed=None, return_deterministic_state=False,
+            temperature=0.8, repetition_penalty=2.0, top_p=0.8, top_k=50,
+            max_mel_tokens=500, **unused_kwargs) -> np.ndarray:
+        """Synthesize one clip; returns float32 (1, 1, S) at 24 kHz
+        (reference api_fast.py:421-503)."""
+        det_seed, text_tokens, cond = self._prepare(
+            text, voice_samples, conditioning_latents, use_deterministic_seed)
+
+        settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
+                                   repetition_penalty=repetition_penalty,
+                                   max_generate=max_mel_tokens)
+        rng = jax.random.PRNGKey(det_seed)
+        codes, _ = sample_speech(self.autoregressive, self.ar_vars,
+                                 jnp.asarray(cond), jnp.asarray(text_tokens),
+                                 rng, num_samples=1, settings=settings)
+        # Teacher-forced latent re-extraction at static shape, sliced to the
+        # natural length host-side (reference api_fast.py:500-503).
+        latents = self._relatent(jnp.asarray(cond), jnp.asarray(text_tokens), codes)
+        n = self._trim_codes(np.asarray(codes)[0])
+        lat = np.asarray(latents)[:, :n].astype(np.float32)
+
+        # Bucket the latent length so the decoder compiles once per bucket.
+        nb = -(-n // self.latent_bucket) * self.latent_bucket if self.latent_bucket else n
+        lat_padded = np.pad(lat, ((0, 0), (0, nb - n), (0, 0)))
+        wav = np.asarray(self._decode_wav(jnp.asarray(lat_padded), jnp.asarray(cond)))
+        out_samples = _expected_samples(n)
+        wav = wav[:, :out_samples, 0][:, None, :]
+
+        if return_deterministic_state:
+            return wav, (det_seed, text, voice_samples, conditioning_latents)
+        return wav
+
+    # ------------------------------------------------------------------
+    def tts_stream(self, text, voice_samples=None, conditioning_latents=None,
+                   verbose=True, use_deterministic_seed=None, stream_chunk_size=40,
+                   overlap_wav_len=1024, temperature=0.8, repetition_penalty=2.0,
+                   top_p=0.8, top_k=50, max_mel_tokens=500,
+                   **unused_kwargs) -> Iterator[np.ndarray]:
+        """Chunked streaming synthesis (reference api_fast.py:311-420).
+
+        The AR decode runs ahead as one compiled program; audio is emitted in
+        ``stream_chunk_size``-token chunks with ``overlap_wav_len``-sample
+        linear crossfade (handle_chunks, reference api_fast.py:285-308).
+        """
+        det_seed, text_tokens, cond = self._prepare(
+            text, voice_samples, conditioning_latents, use_deterministic_seed)
+        settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
+                                   repetition_penalty=repetition_penalty,
+                                   max_generate=max_mel_tokens)
+        codes, latents = sample_speech(self.autoregressive, self.ar_vars,
+                                       jnp.asarray(cond), jnp.asarray(text_tokens),
+                                       jax.random.PRNGKey(det_seed), num_samples=1,
+                                       settings=settings)
+        n = self._trim_codes(np.asarray(codes)[0])
+        lat = np.asarray(latents)[:, :n].astype(np.float32)
+
+        first_buffer = 60
+        wav_gen_prev, wav_overlap = None, None
+        emitted = 0
+        pos = 0
+        while pos < n:
+            take = max(stream_chunk_size, first_buffer) if first_buffer else stream_chunk_size
+            first_buffer = 0
+            pos = min(pos + take, n)
+            chunk_lat = lat[:, :pos]
+            nb = -(-pos // self.latent_bucket) * self.latent_bucket if self.latent_bucket else pos
+            padded = np.pad(chunk_lat, ((0, 0), (0, nb - pos), (0, 0)))
+            wav_gen = np.asarray(self._decode_wav(jnp.asarray(padded), jnp.asarray(cond)))
+            wav_gen = wav_gen[0, :_expected_samples(pos), 0]
+            chunk, wav_gen_prev, wav_overlap = handle_chunks(
+                wav_gen, wav_gen_prev, wav_overlap, overlap_wav_len)
+            emitted += len(chunk)
+            yield chunk
+
+    def deterministic_state(self, seed=None):
+        return deterministic_state(seed)
+
+
+def _expected_samples(n_latents: int) -> int:
+    """Output sample count for n latent frames after the two interpolations
+    and the 256x upsampling stack."""
+    import math
+
+    up1 = int(math.floor(n_latents * (1024.0 / 256.0)))
+    up2 = int(math.floor(up1 * (24000.0 / 22050.0)))
+    return up2 * 256
+
+
+def handle_chunks(wav_gen: np.ndarray, wav_gen_prev, wav_overlap, overlap_len: int):
+    """Streaming chunk crossfade (reference api_fast.py:285-308)."""
+    wav_chunk = wav_gen[:-overlap_len]
+    if wav_gen_prev is not None:
+        wav_chunk = wav_gen[(wav_gen_prev.shape[0] - overlap_len):-overlap_len]
+    if wav_overlap is not None:
+        if overlap_len > len(wav_chunk):
+            if wav_gen_prev is not None:
+                wav_chunk = wav_gen[(wav_gen_prev.shape[0] - overlap_len):]
+            else:
+                wav_chunk = wav_gen[-overlap_len:]
+            return wav_chunk, wav_gen, None
+        crossfade = wav_chunk[:overlap_len].copy()
+        crossfade *= np.linspace(0.0, 1.0, overlap_len, dtype=np.float32)
+        wav_chunk = wav_chunk.copy()
+        wav_chunk[:overlap_len] = wav_overlap * np.linspace(1.0, 0.0, overlap_len,
+                                                            dtype=np.float32)
+        wav_chunk[:overlap_len] += crossfade
+    wav_overlap = wav_gen[-overlap_len:]
+    wav_gen_prev = wav_gen
+    return wav_chunk, wav_gen_prev, wav_overlap

@@ -134,3 +134,253 @@ def unified_voice_params(sd, layers: int = 30) -> dict:
         "mel_head": {"kernel": dense_kernel(sd["mel_head.weight"]),
                      "bias": t2n(sd["mel_head.bias"])},
     }
+
+
+def convtranspose1d_kernel(w) -> np.ndarray:
+    """torch ConvTranspose1d (in, out, k) -> input-dilated-conv kernel
+    (k, in, out) with time axis flipped (see hifigan.conv_transpose_1d)."""
+    return np.ascontiguousarray(t2n(w).transpose(2, 0, 1)[::-1])
+
+
+def _wn_conv(sd, prefix: str, transpose: bool = False) -> dict:
+    """Weight-normed torch conv -> folded flax kernel dict."""
+    w = fold_weight_norm(sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"], dim=0)
+    import torch
+
+    wt = torch.from_numpy(w)
+    kernel = convtranspose1d_kernel(wt) if transpose else conv1d_kernel(wt)
+    return {"kernel": kernel, "bias": t2n(sd[f"{prefix}.bias"])}
+
+
+def hifigan_params(sd, num_upsamples: int = 4, num_kernels: int = 3,
+                   resblock_convs: int = 3) -> dict:
+    """reference HifiganGenerator state_dict -> models.hifigan params."""
+    p = {
+        "conv_pre": _wn_conv(sd, "conv_pre"),
+        "conv_post": _wn_conv(sd, "conv_post"),
+    }
+    if "cond_layer.weight" in sd:
+        p["cond_layer"] = {"kernel": conv1x1_as_dense(sd["cond_layer.weight"]),
+                           "bias": t2n(sd["cond_layer.bias"])}
+    for i in range(num_upsamples):
+        p[f"up_{i}"] = _wn_conv(sd, f"ups.{i}", transpose=True)
+        for j in range(num_kernels):
+            idx = i * num_kernels + j
+            blk = {}
+            if f"resblocks.{idx}.convs1.0.weight_g" in sd:  # ResBlock1
+                for n in range(resblock_convs):
+                    blk[f"conv1_{n}"] = _wn_conv(sd, f"resblocks.{idx}.convs1.{n}")
+                    blk[f"conv2_{n}"] = _wn_conv(sd, f"resblocks.{idx}.convs2.{n}")
+            else:  # ResBlock2
+                for n in range(2):
+                    blk[f"conv_{n}"] = _wn_conv(sd, f"resblocks.{idx}.convs.{n}")
+            p[f"resblock_{i}_{j}"] = blk
+    return p
+
+
+def rlg_params(sd) -> dict:
+    """reference RandomLatentConverter -> models.random_latent params."""
+    p = {}
+    for i in range(5):
+        p[f"eq_{i}"] = {"weight": t2n(sd[f"layers.{i}.weight"]),
+                        "bias": t2n(sd[f"layers.{i}.bias"])}
+    p["final"] = {"kernel": dense_kernel(sd["layers.5.weight"]),
+                  "bias": t2n(sd["layers.5.bias"])}
+    return p
+
+
+def xtransformer_encoder_params(sd, prefix: str, depth: int, wrapped: bool = True) -> dict:
+    """reference ContinuousTransformerWrapper(Encoder) -> XTransformerEncoder.
+
+    ``wrapped`` selects the CheckpointedLayer ('.wrap') indirection used by
+    CLVP's CheckpointedXTransformerEncoder (reference arch_util.py:350-373).
+    Layer list alternates [attn, ff] per depth; norms live at .0.0 (RMSNorm
+    'g'), the branch module at .1.
+    """
+    mid = ".wrap" if wrapped else ""
+    p = {}
+    for d in range(depth):
+        ia, iff = 2 * d, 2 * d + 1
+        p[f"attn_norm_{d}"] = {"g": t2n(sd[f"{prefix}.attn_layers.layers.{ia}.0.0.g"])}
+        ap = f"{prefix}.attn_layers.layers.{ia}.1{mid}"
+        p[f"attn_{d}"] = {
+            "to_q": {"kernel": dense_kernel(sd[f"{ap}.to_q.weight"])},
+            "to_k": {"kernel": dense_kernel(sd[f"{ap}.to_k.weight"])},
+            "to_v": {"kernel": dense_kernel(sd[f"{ap}.to_v.weight"])},
+            "to_out": {"kernel": dense_kernel(sd[f"{ap}.to_out.weight"]),
+                       "bias": t2n(sd[f"{ap}.to_out.bias"])},
+        }
+        p[f"ff_norm_{d}"] = {"g": t2n(sd[f"{prefix}.attn_layers.layers.{iff}.0.0.g"])}
+        fp = f"{prefix}.attn_layers.layers.{iff}.1{mid}"
+        p[f"ff_{d}"] = {
+            "proj": {"kernel": dense_kernel(sd[f"{fp}.net.0.proj.weight"]),
+                     "bias": t2n(sd[f"{fp}.net.0.proj.bias"])},
+            "out": {"kernel": dense_kernel(sd[f"{fp}.net.3.weight"]),
+                    "bias": t2n(sd[f"{fp}.net.3.bias"])},
+        }
+    p["final_norm"] = _layernorm(sd, f"{prefix}.norm")
+    return p
+
+
+def clvp_params(sd) -> dict:
+    """reference CLVP (use_xformers=True) -> models.clvp.CLVP params."""
+    depth_t = max(int(k.split(".")[4]) for k in sd
+                  if k.startswith("text_transformer.transformer.attn_layers.layers.")) // 2 + 1
+    depth_s = max(int(k.split(".")[4]) for k in sd
+                  if k.startswith("speech_transformer.transformer.attn_layers.layers.")) // 2 + 1
+    return {
+        "text_emb": {"embedding": t2n(sd["text_emb.weight"])},
+        "speech_emb": {"embedding": t2n(sd["speech_emb.weight"])},
+        "text_transformer": xtransformer_encoder_params(
+            sd, "text_transformer.transformer", depth_t, wrapped=True),
+        "speech_transformer": xtransformer_encoder_params(
+            sd, "speech_transformer.transformer", depth_s, wrapped=True),
+        "to_text_latent": {"kernel": dense_kernel(sd["to_text_latent.weight"])},
+        "to_speech_latent": {"kernel": dense_kernel(sd["to_speech_latent.weight"])},
+        "temperature": t2n(sd["temperature"]).reshape(()),
+    }
+
+
+def _collapsing_transformer_params(sd, prefix: str, depth: int) -> dict:
+    return {
+        "transformer": xtransformer_encoder_params(sd, f"{prefix}.transformer",
+                                                   depth, wrapped=False),
+        "pre_conv": {"kernel": conv1x1_as_dense(sd[f"{prefix}.pre_combiner.0.weight"]),
+                     "bias": t2n(sd[f"{prefix}.pre_combiner.0.bias"])},
+        "pre_attn": attention_block_params(sd, f"{prefix}.pre_combiner.1"),
+        "post_conv": {"kernel": conv1x1_as_dense(sd[f"{prefix}.pre_combiner.2.weight"]),
+                      "bias": t2n(sd[f"{prefix}.pre_combiner.2.bias"])},
+    }
+
+
+def cvvp_params(sd, cond_depth: int = 8, speech_depth: int = 8) -> dict:
+    """reference CVVP -> models.cvvp.CVVP params."""
+    p = {
+        "cond_conv1": {"kernel": conv1d_kernel(sd["cond_emb.0.weight"]),
+                       "bias": t2n(sd["cond_emb.0.bias"])},
+        "cond_conv2": {"kernel": conv1d_kernel(sd["cond_emb.1.weight"]),
+                       "bias": t2n(sd["cond_emb.1.bias"])},
+        "conditioning_transformer": _collapsing_transformer_params(
+            sd, "conditioning_transformer", cond_depth),
+        "to_conditioning_latent": {"kernel": dense_kernel(sd["to_conditioning_latent.weight"])},
+        "speech_transformer": _collapsing_transformer_params(
+            sd, "speech_transformer", speech_depth),
+        "to_speech_latent": {"kernel": dense_kernel(sd["to_speech_latent.weight"])},
+        "temperature": t2n(sd["temperature"]).reshape(()),
+    }
+    if "speech_emb.emb.weight" in sd:
+        p["speech_emb"] = {"embedding": t2n(sd["speech_emb.emb.weight"])}
+    else:
+        p["speech_emb"] = {"kernel": conv1d_kernel(sd["speech_emb.weight"]),
+                           "bias": t2n(sd["speech_emb.bias"])}
+    return p
+
+
+def _timestep_resblock_params(sd, prefix: str) -> dict:
+    """reference diffusion_decoder.ResBlock (efficient, scale-shift) ->
+    models.diffusion_decoder.TimestepResBlock."""
+    p = {
+        "GroupNorm32_0": _groupnorm(sd, f"{prefix}.in_layers.0"),
+        "in_conv": {"kernel": conv1x1_as_dense(sd[f"{prefix}.in_layers.2.weight"]),
+                    "bias": t2n(sd[f"{prefix}.in_layers.2.bias"])},
+        "emb_proj": {"kernel": dense_kernel(sd[f"{prefix}.emb_layers.1.weight"]),
+                     "bias": t2n(sd[f"{prefix}.emb_layers.1.bias"])},
+        "GroupNorm32_1": _groupnorm(sd, f"{prefix}.out_layers.0"),
+        "out_conv": {"kernel": conv1d_kernel(sd[f"{prefix}.out_layers.3.weight"]),
+                     "bias": t2n(sd[f"{prefix}.out_layers.3.bias"])},
+    }
+    if f"{prefix}.skip_connection.weight" in sd:
+        p["skip_conv"] = {"kernel": conv1x1_as_dense(sd[f"{prefix}.skip_connection.weight"]),
+                          "bias": t2n(sd[f"{prefix}.skip_connection.bias"])}
+    return p
+
+
+def _diffusion_layer_params(sd, prefix: str) -> dict:
+    return {"resblk": _timestep_resblock_params(sd, f"{prefix}.resblk"),
+            "attn": attention_block_params(sd, f"{prefix}.attn")}
+
+
+def diffusion_tts_params(sd, num_layers: int = 10) -> dict:
+    """reference DiffusionTts state_dict -> models.diffusion_decoder params."""
+    p = {
+        "inp_block": {"kernel": conv1d_kernel(sd["inp_block.weight"]),
+                      "bias": t2n(sd["inp_block.bias"])},
+        "time_embed_1": {"kernel": dense_kernel(sd["time_embed.0.weight"]),
+                         "bias": t2n(sd["time_embed.0.bias"])},
+        "time_embed_2": {"kernel": dense_kernel(sd["time_embed.2.weight"]),
+                         "bias": t2n(sd["time_embed.2.bias"])},
+        "code_embedding": {"embedding": t2n(sd["code_embedding.weight"])},
+        "code_norm": _groupnorm(sd, "code_norm"),
+        "latent_conv": {"kernel": conv1d_kernel(sd["latent_conditioner.0.weight"]),
+                        "bias": t2n(sd["latent_conditioner.0.bias"])},
+        "ctx_conv1": {"kernel": conv1d_kernel(sd["contextual_embedder.0.weight"]),
+                      "bias": t2n(sd["contextual_embedder.0.bias"])},
+        "ctx_conv2": {"kernel": conv1d_kernel(sd["contextual_embedder.1.weight"]),
+                      "bias": t2n(sd["contextual_embedder.1.bias"])},
+        "unconditioned_embedding": t2n(sd["unconditioned_embedding"]).transpose(0, 2, 1),
+        "integrating_conv": {"kernel": conv1x1_as_dense(sd["integrating_conv.weight"]),
+                             "bias": t2n(sd["integrating_conv.bias"])},
+        "mel_head": {"kernel": conv1d_kernel(sd["mel_head.weight"]),
+                     "bias": t2n(sd["mel_head.bias"])},
+        "out_norm": _groupnorm(sd, "out.0"),
+        "out_conv": {"kernel": conv1d_kernel(sd["out.2.weight"]),
+                     "bias": t2n(sd["out.2.bias"])},
+    }
+    for i in range(3):
+        p[f"code_converter_{i}"] = attention_block_params(sd, f"code_converter.{i}")
+    for i in range(4):
+        p[f"latent_attn_{i}"] = attention_block_params(sd, f"latent_conditioner.{i + 1}")
+    for i in range(5):
+        p[f"ctx_attn_{i}"] = attention_block_params(sd, f"contextual_embedder.{i + 2}")
+    for i in range(3):
+        p[f"cond_integrator_{i}"] = _diffusion_layer_params(
+            sd, f"conditioning_timestep_integrator.{i}")
+    for i in range(num_layers):
+        p[f"layers_{i}"] = _diffusion_layer_params(sd, f"layers.{i}")
+    for i in range(3):
+        p[f"layers_{num_layers + i}"] = _timestep_resblock_params(
+            sd, f"layers.{num_layers + i}")
+    return p
+
+
+def univnet_params(sd, n_blocks: int = 3, n_dilations: int = 4) -> dict:
+    """reference UnivNetGenerator state_dict -> models.vocoder params."""
+    p = {"conv_pre": _wn_conv(sd, "conv_pre"),
+         "conv_post": _wn_conv(sd, "conv_post.1")}
+    for i in range(n_blocks):
+        rp = f"res_stack.{i}"
+        kp = {"input_conv": _wn_conv(sd, f"{rp}.kernel_predictor.input_conv.0"),
+              "kernel_conv": _wn_conv(sd, f"{rp}.kernel_predictor.kernel_conv"),
+              "bias_conv": _wn_conv(sd, f"{rp}.kernel_predictor.bias_conv")}
+        for j in range(3):
+            kp[f"res_{j}_a"] = _wn_conv(sd, f"{rp}.kernel_predictor.residual_convs.{j}.1")
+            kp[f"res_{j}_b"] = _wn_conv(sd, f"{rp}.kernel_predictor.residual_convs.{j}.3")
+        blk = {"kernel_predictor": kp,
+               "convt_pre": _wn_conv(sd, f"{rp}.convt_pre.1", transpose=True)}
+        for j in range(n_dilations):
+            blk[f"conv_{j}"] = _wn_conv(sd, f"{rp}.conv_blocks.{j}.1")
+        p[f"lvc_{i}"] = blk
+    return p
+
+
+def classifier_params(sd, depth: int = 5, resnet_blocks: int = 2,
+                      attn_blocks: int = 4) -> dict:
+    """reference AudioMiniEncoderWithClassifierHead -> models.classifier params."""
+    enc = {"init": {"kernel": conv1d_kernel(sd["enc.init.0.weight"]),
+                    "bias": t2n(sd["enc.init.0.bias"])}}
+    idx = 0
+    for _ in range(depth):
+        for _ in range(resnet_blocks):
+            enc[f"res_{idx}"] = resblock_params(sd, f"enc.res.{idx}")
+            idx += 1
+        enc[f"down_{idx}"] = {"conv": {"kernel": conv1d_kernel(sd[f"enc.res.{idx}.op.weight"]),
+                                       "bias": t2n(sd[f"enc.res.{idx}.op.bias"])}}
+        idx += 1
+    enc["GroupNorm32_0"] = _groupnorm(sd, "enc.final.0")
+    enc["final"] = {"kernel": conv1d_kernel(sd["enc.final.2.weight"]),
+                    "bias": t2n(sd["enc.final.2.bias"])}
+    for a in range(attn_blocks):
+        enc[f"attn_{a}"] = attention_block_params(sd, f"enc.attn.{a}")
+    return {"enc": enc,
+            "head": {"kernel": dense_kernel(sd["head.weight"]),
+                     "bias": t2n(sd["head.bias"])}}

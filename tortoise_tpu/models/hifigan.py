@@ -1,0 +1,156 @@
+"""HiFi-GAN decoder: GPT latents -> 24 kHz waveform (fast path).
+
+TPU-native re-implementation of the reference generator
+(reference: tortoise/models/hifigan_decoder.py:159-303): conv_pre over
+1024-d GPT latents + a 1x1 speaker-conditioning layer, four transposed-conv
+upsample stages [8, 8, 2, 2] each followed by a multi-receptive-field fusion
+of three ResBlocks (kernels 3/7/11, dilations 1/3/5), then conv_post + tanh.
+Weight norm is folded into plain kernels at conversion time.
+
+Everything is (B, T, C); transposed convs are expressed as input-dilated
+regular convolutions, which XLA maps onto the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tortoise_tpu.ops.interpolate import linear_interpolate
+
+LRELU_SLOPE = 0.1
+
+
+def conv_transpose_1d(x, kernel, bias, stride: int, padding: int, output_padding: int = 0):
+    """torch ConvTranspose1d equivalence via an input-dilated convolution.
+
+    x: (B, T, Cin); kernel: flax layout (K, Cin, Cout) already time-flipped
+    at conversion; output length = (T-1)*stride - 2*padding + K + output_padding.
+    """
+    k = kernel.shape[0]
+    pad = k - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1,),
+        padding=[(pad, pad + output_padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y + bias
+
+
+class ConvTranspose(nn.Module):
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    output_padding: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kernel_size, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return conv_transpose_1d(x.astype(self.dtype), kernel.astype(self.dtype),
+                                 bias.astype(self.dtype), self.stride, self.padding,
+                                 self.output_padding)
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block type 1 (reference hifigan_decoder.py:15-103)."""
+    channels: int
+    kernel_size: int = 3
+    dilations: tuple = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                         padding=(self.kernel_size * d - d) // 2, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=f"conv1_{i}")(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = nn.Conv(self.channels, (self.kernel_size,),
+                         padding=(self.kernel_size - 1) // 2, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=f"conv2_{i}")(xt)
+            x = x + xt
+        return x
+
+
+class ResBlock2(nn.Module):
+    """MRF residual block type 2 (reference hifigan_decoder.py:105-156)."""
+    channels: int
+    kernel_size: int = 3
+    dilations: tuple = (1, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                         padding=(self.kernel_size * d - d) // 2, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=f"conv_{i}")(xt)
+            x = x + xt
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class HifiganConfig:
+    """Shipping config from reference api_fast.py:222-225."""
+    in_channels: int = 1024
+    out_channels: int = 1
+    resblock_type: str = "1"
+    resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    upsample_kernel_sizes: tuple = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    upsample_factors: tuple = (8, 8, 2, 2)
+    cond_channels: int = 1024
+
+
+class HifiganGenerator(nn.Module):
+    config: HifiganConfig = HifiganConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, g=None):
+        """x: (B, T, in_channels); g: (B, cond_channels) speaker conditioning.
+        Returns (B, T * prod(upsample_factors), out_channels) in [-1, 1]."""
+        cfg = self.config
+        o = nn.Conv(cfg.upsample_initial_channel, (7,), padding=3, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_pre")(x)
+        if g is not None:
+            cond = nn.Dense(cfg.upsample_initial_channel, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="cond_layer")(g)
+            o = o + cond[:, None, :]
+        resblock = ResBlock1 if cfg.resblock_type == "1" else ResBlock2
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        for i, (u, k) in enumerate(zip(cfg.upsample_factors, cfg.upsample_kernel_sizes)):
+            o = nn.leaky_relu(o, LRELU_SLOPE)
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            o = ConvTranspose(ch, k, u, padding=(k - u) // 2, dtype=self.dtype,
+                              name=f"up_{i}")(o)
+            z_sum = None
+            for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                             cfg.resblock_dilation_sizes)):
+                z = resblock(ch, rk, tuple(rd), dtype=self.dtype,
+                             name=f"resblock_{i}_{j}")(o)
+                z_sum = z if z_sum is None else z_sum + z
+            o = z_sum / num_kernels
+        o = nn.leaky_relu(o, 0.01)  # reference uses the default slope here (:263)
+        o = nn.Conv(cfg.out_channels, (7,), padding=3, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_post")(o)
+        return jnp.tanh(o)
+
+    def inference(self, c, g):
+        """c: (B, T, 1024) GPT latents; g: (B, 1024) speaker latent.
+
+        Reference hifigan_decoder.py:268-294: latents are linearly
+        interpolated x(1024/256) then x(24000/22050) before decoding.
+        """
+        up = linear_interpolate(c, 1024.0 / 256.0)
+        up = linear_interpolate(up, 24000.0 / 22050.0)
+        return self(up, g)

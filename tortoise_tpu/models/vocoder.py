@@ -1,0 +1,176 @@
+"""UnivNet-c32 vocoder: mel + noise -> 24 kHz waveform (quality path).
+
+TPU-native re-implementation of the reference generator
+(reference: tortoise/models/vocoder.py:225-312): 256x upsampling through 3
+LVC blocks (strides 8/8/4), each applying four dilated convs gated by
+location-variable convolutions whose per-frame kernels are predicted from
+the mel by a KernelPredictor. Weight norm is folded at conversion.
+
+The location-variable convolution — the reference's hardest op
+(vocoder.py:182-216, an unfold+einsum at 414 us/loop on V100) — is
+reformulated as a frame-blocked patch gather + batched einsum that XLA maps
+onto the MXU; see ``location_variable_convolution``.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.2
+
+
+def location_variable_convolution(x: jnp.ndarray, kernels: jnp.ndarray,
+                                  bias: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Per-frame predicted convolution (reference vocoder.py:182-216, dilation=1).
+
+    x: (B, T, Cin) with T = frames*hop; kernels: (B, frames, Cin, Cout, K);
+    bias: (B, frames, Cout). Each hop-length segment of x is convolved
+    ('same' padding) with its own kernel.
+    """
+    b, t, ci = x.shape
+    _, f, _, co, k = kernels.shape
+    assert t == f * hop, f"length mismatch: {t} != {f}*{hop}"
+    p = (k - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
+    idx = (np.arange(f)[:, None, None] * hop
+           + np.arange(hop)[None, :, None]
+           + np.arange(k)[None, None, :])          # (F, hop, K)
+    patches = xp[:, idx]                            # (B, F, hop, K, Ci)
+    y = jnp.einsum("bfski,bfiok->bfso", patches, kernels,
+                   preferred_element_type=jnp.float32)
+    y = y + bias[:, :, None, :]
+    return y.reshape(b, f * hop, co).astype(x.dtype)
+
+
+class KernelPredictor(nn.Module):
+    """Mel -> per-frame LVC kernels/biases (reference vocoder.py:7-101)."""
+    conv_in_channels: int
+    conv_out_channels: int
+    conv_layers: int
+    conv_kernel_size: int = 3
+    hidden: int = 64
+    kpnet_conv_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c):
+        """c: (B, F, cond_channels) -> kernels (B, L, F, Cin, Cout, K),
+        bias (B, L, F, Cout)."""
+        kw = self.kpnet_conv_size
+        pad = (kw - 1) // 2
+        h = nn.Conv(self.hidden, (5,), padding=2, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="input_conv")(c)
+        h = nn.leaky_relu(h, LRELU_SLOPE)
+        for i in range(3):
+            r = nn.Conv(self.hidden, (kw,), padding=pad, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"res_{i}_a")(h)
+            r = nn.leaky_relu(r, LRELU_SLOPE)
+            r = nn.Conv(self.hidden, (kw,), padding=pad, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"res_{i}_b")(r)
+            r = nn.leaky_relu(r, LRELU_SLOPE)
+            h = h + r
+        lw = self.conv_in_channels * self.conv_out_channels * \
+            self.conv_kernel_size * self.conv_layers
+        lb = self.conv_out_channels * self.conv_layers
+        k = nn.Conv(lw, (kw,), padding=pad, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="kernel_conv")(h)
+        bsz = nn.Conv(lb, (kw,), padding=pad, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="bias_conv")(h)
+        b, f, _ = k.shape
+        kernels = k.reshape(b, f, self.conv_layers, self.conv_in_channels,
+                            self.conv_out_channels, self.conv_kernel_size)
+        kernels = kernels.transpose(0, 2, 1, 3, 4, 5)  # (B, L, F, Ci, Co, K)
+        bias = bsz.reshape(b, f, self.conv_layers, self.conv_out_channels)
+        bias = bias.transpose(0, 2, 1, 3)               # (B, L, F, Co)
+        return kernels, bias
+
+
+class LVCBlock(nn.Module):
+    """Upsample + 4 dilated convs gated by LVC (reference vocoder.py:104-180)."""
+    in_channels: int
+    stride: int
+    dilations: tuple = (1, 3, 9, 27)
+    conv_kernel_size: int = 3
+    cond_hop_length: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        """x: (B, T, C); c: (B, F, mel). Returns (B, T*stride, C)."""
+        s = self.stride
+        kernels, bias = KernelPredictor(
+            conv_in_channels=self.in_channels,
+            conv_out_channels=2 * self.in_channels,
+            conv_layers=len(self.dilations),
+            conv_kernel_size=self.conv_kernel_size,
+            dtype=self.dtype, name="kernel_predictor")(c)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        from tortoise_tpu.models.hifigan import ConvTranspose
+
+        x = ConvTranspose(self.in_channels, 2 * s, s, padding=s // 2 + s % 2,
+                          output_padding=s % 2, dtype=self.dtype,
+                          name="convt_pre")(x)
+        for i, d in enumerate(self.dilations):
+            out = nn.leaky_relu(x, LRELU_SLOPE)
+            out = nn.Conv(self.in_channels, (self.conv_kernel_size,),
+                          kernel_dilation=(d,),
+                          padding=d * (self.conv_kernel_size - 1) // 2,
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name=f"conv_{i}")(out)
+            out = nn.leaky_relu(out, LRELU_SLOPE)
+            out = location_variable_convolution(out, kernels[:, i], bias[:, i],
+                                                self.cond_hop_length)
+            x = x + jnp.asarray(nn.sigmoid(out[..., :self.in_channels])) * \
+                jnp.tanh(out[..., self.in_channels:])
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class UnivNetConfig:
+    noise_dim: int = 64
+    channel_size: int = 32
+    dilations: tuple = (1, 3, 9, 27)
+    strides: tuple = (8, 8, 4)
+    kpnet_conv_size: int = 3
+    hop_length: int = 256
+    n_mel_channels: int = 100
+
+
+def _reflect_pad_conv(x, features, name, dtype):
+    x = jnp.pad(x, ((0, 0), (3, 3), (0, 0)), mode="reflect")
+    return nn.Conv(features, (7,), padding="VALID", dtype=dtype,
+                   param_dtype=jnp.float32, name=name)(x)
+
+
+class UnivNetGenerator(nn.Module):
+    config: UnivNetConfig = UnivNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c, z):
+        """c: (B, F, 100) mel; z: (B, F, noise_dim) noise -> (B, F*256, 1)."""
+        cfg = self.config
+        x = _reflect_pad_conv(z, cfg.channel_size, "conv_pre", self.dtype)
+        hop = 1
+        for i, s in enumerate(cfg.strides):
+            hop *= s
+            x = LVCBlock(cfg.channel_size, s, cfg.dilations,
+                         cond_hop_length=hop, conv_kernel_size=3,
+                         dtype=self.dtype, name=f"lvc_{i}")(x, c)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        x = _reflect_pad_conv(x, 1, "conv_post", self.dtype)
+        return jnp.tanh(x)
+
+    def inference(self, c, z):
+        """Padded inference (reference vocoder.py:300-312): append 10 frames
+        of log-floor mel, decode, trim 10*hop samples, clamp."""
+        cfg = self.config
+        pad = jnp.full((c.shape[0], 10, cfg.n_mel_channels), -11.5129,
+                       dtype=c.dtype)
+        mel = jnp.concatenate([c, pad], axis=1)
+        audio = self(mel, z)
+        audio = audio[:, : -(cfg.hop_length * 10)]
+        return jnp.clip(audio, -1, 1)

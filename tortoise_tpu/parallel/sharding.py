@@ -1,0 +1,51 @@
+"""Parameter partition rules (GSPMD tensor parallelism).
+
+Megatron-style sharding for the UnifiedVoice GPT stack: qkv/fc kernels split
+on the output feature axis, proj kernels on the input feature axis, so each
+block needs exactly one all-reduce (emitted automatically by GSPMD) per
+attention/MLP. Everything else (norms, small convs, embeddings' table axis)
+is replicated or vocab-sharded.
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def unified_voice_pspec(path: tuple[str, ...], leaf) -> P:
+    """Partition spec for a UnifiedVoice param leaf, keyed by its tree path."""
+    keys = [getattr(p, "key", str(p)) for p in path]
+    name = "/".join(keys)
+    if "gpt" in keys:
+        if keys[-1] == "kernel":
+            if any(k in keys for k in ("c_attn", "mlp_fc")):
+                return P(None, "tp")      # column parallel
+            if any(k in keys for k in ("c_proj", "mlp_proj")):
+                return P("tp", None)      # row parallel
+        return P()
+    if keys[-1] == "embedding" and keys[0] in ("text_embedding", "mel_embedding"):
+        return P(None, None)
+    if keys[0] in ("mel_head", "text_head") and keys[-1] == "kernel":
+        return P(None, "tp")              # vocab-sharded output projection
+    if keys[0] == "conditioning_encoder" and keys[-1] == "kernel" and "qkv" in keys:
+        return P(None, "tp")
+    return P()
+
+
+def shard_params(params, mesh: Mesh, rules=unified_voice_pspec):
+    """Place a param tree on the mesh according to ``rules``."""
+    def place(path, leaf):
+        spec = rules(path, leaf)
+        # drop specs that don't divide the axis evenly
+        shape = leaf.shape
+        clean = []
+        for i, ax in enumerate(spec):
+            if ax is None:
+                clean.append(None)
+            elif i < len(shape) and shape[i] % mesh.shape[ax] == 0:
+                clean.append(ax)
+            else:
+                clean.append(None)
+        return jax.device_put(leaf, NamedSharding(mesh, P(*clean)))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -1,0 +1,110 @@
+"""Checkpoint loading / saving for the TPU framework.
+
+The reference downloads 8 torch ``.pth`` checkpoints from HuggingFace Hub
+(reference: tortoise/api.py:29-49, cached in ~/.cache/tortoise/models or
+$TORTOISE_MODELS_DIR). This framework stores parameters as flat ``.npz``
+param trees, searched in $TORTOISE_TPU_MODELS_DIR (default
+~/.cache/tortoise_tpu/models). When a native checkpoint is missing but the
+corresponding torch ``.pth`` is available locally, it is converted on the
+fly via ``tortoise_tpu.convert``; with no weights at all the caller decides
+(tests and benchmarks run random-init).
+"""
+from __future__ import annotations
+
+import os
+import warnings
+
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+DEFAULT_MODELS_DIR = os.path.join(os.path.expanduser("~"), ".cache", "tortoise_tpu", "models")
+MODELS_DIR = os.environ.get("TORTOISE_TPU_MODELS_DIR", DEFAULT_MODELS_DIR)
+TORCH_MODELS_DIR = os.environ.get(
+    "TORTOISE_MODELS_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "tortoise", "models"))
+
+# torch checkpoint name -> (our name, converter entrypoint)
+TORCH_CHECKPOINTS = {
+    "autoregressive": "autoregressive.pth",
+    "diffusion_decoder": "diffusion_decoder.pth",
+    "clvp": "clvp2.pth",
+    "cvvp": "cvvp.pth",
+    "vocoder": "vocoder.pth",
+    "classifier": "classifier.pth",
+    "rlg_auto": "rlg_auto.pth",
+    "rlg_diffuser": "rlg_diffuser.pth",
+    "hifidecoder": "hifidecoder.pth",
+}
+
+
+def save_params(path: str, params: dict) -> None:
+    flat = {"/".join(k): np.asarray(v) for k, v in flatten_dict(params).items()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params(path: str) -> dict:
+    z = np.load(path)
+    return unflatten_dict({tuple(k.split("/")): z[k] for k in z.files})
+
+
+def find_checkpoint(name: str, models_dir: str | None = None) -> str | None:
+    """Return the path of a native checkpoint for ``name``, or None."""
+    d = models_dir or MODELS_DIR
+    p = os.path.join(d, f"{name}.npz")
+    return p if os.path.exists(p) else None
+
+
+def convert_from_torch(name: str, torch_path: str) -> dict:
+    """Convert a reference torch checkpoint into our param tree."""
+    import torch
+
+    from tortoise_tpu.convert import torch_import as ti
+
+    sd = torch.load(torch_path, map_location="cpu", weights_only=False)
+    if name == "vocoder":
+        sd = sd["model_g"]  # reference api.py:237
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    converters = {
+        "autoregressive": lambda s: ti.unified_voice_params(s, layers=30),
+        "hifidecoder": ti.hifigan_params,
+    }
+    # Converters for the remaining families are registered as they land.
+    extra = {
+        n: getattr(ti, f)
+        for n, f in (("diffusion_decoder", "diffusion_tts_params"),
+                     ("clvp", "clvp_params"), ("cvvp", "cvvp_params"),
+                     ("vocoder", "univnet_params"), ("classifier", "classifier_params"),
+                     ("rlg_auto", "rlg_params"), ("rlg_diffuser", "rlg_params"))
+        if hasattr(ti, f)
+    }
+    converters.update(extra)
+    if name not in converters:
+        raise NotImplementedError(f"no converter registered for '{name}'")
+    return converters[name](sd)
+
+
+def get_params(name: str, init_fn, models_dir: str | None = None,
+               allow_random: bool = True) -> tuple[dict, str]:
+    """Load params for model ``name``; returns (params, source) where source
+    is one of 'native', 'torch', 'random'."""
+    native = find_checkpoint(name, models_dir)
+    if native:
+        return load_params(native), "native"
+    torch_path = os.path.join(TORCH_MODELS_DIR, TORCH_CHECKPOINTS.get(name, f"{name}.pth"))
+    if os.path.exists(torch_path):
+        params = convert_from_torch(name, torch_path)
+        # cache the converted tree for next time
+        try:
+            save_params(os.path.join(models_dir or MODELS_DIR, f"{name}.npz"), params)
+        except OSError:
+            pass
+        return params, "torch"
+    if not allow_random:
+        raise FileNotFoundError(
+            f"no checkpoint found for '{name}' in {models_dir or MODELS_DIR} "
+            f"or {TORCH_MODELS_DIR}")
+    warnings.warn(f"no checkpoint for '{name}'; using random initialization "
+                  "(output will be noise, perf/shape testing only)")
+    return init_fn(), "random"
