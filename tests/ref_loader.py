@@ -19,10 +19,28 @@ REFERENCE_ROOT = "/root/reference"
 
 _STUBS = [
     "torchaudio", "torchaudio.transforms", "torchaudio.functional",
-    "librosa", "librosa.filters",
+    "librosa", "librosa.filters", "librosa.util",
     "inflect", "unidecode", "rotary_embedding_torch", "progressbar",
     "sounddevice", "spacy", "deepspeed",
 ]
+
+
+def _pad_center(data, size, axis=-1, **kwargs):
+    import numpy as np
+
+    n = data.shape[axis]
+    lpad = int((size - n) // 2)
+    lengths = [(0, 0)] * data.ndim
+    lengths[axis] = (lpad, int(size - n - lpad))
+    return np.pad(data, lengths, **kwargs)
+
+
+def _tiny(x):
+    import numpy as np
+
+    x = np.asarray(x)
+    dtype = x.dtype if np.issubdtype(x.dtype, np.floating) else np.float32
+    return np.finfo(dtype).tiny
 
 
 def _install_stubs():
@@ -47,6 +65,9 @@ def _install_stubs():
     sys.modules["torchaudio"].transforms = sys.modules["torchaudio.transforms"]
     sys.modules["torchaudio"].functional = sys.modules["torchaudio.functional"]
     sys.modules["librosa"].filters = sys.modules["librosa.filters"]
+    sys.modules["librosa"].util = sys.modules["librosa.util"]
+    sys.modules["librosa.util"].pad_center = _pad_center
+    sys.modules["librosa.util"].tiny = _tiny
 
     # Compat shim: transformers >= 4.49 removed LogitsWarper (merged into
     # LogitsProcessor). Pre-register the reference's typical_sampling module

@@ -1,0 +1,50 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh: candidate
+sharding for inference and the dp x tp training step."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tpu.models.ar_sampler import SamplerSettings, sample_speech
+from tortoise_tpu.models.autoregressive import (UnifiedVoice, UnifiedVoiceConfig,
+                                                init_unified_voice)
+from tortoise_tpu.parallel.mesh import batch_sharding, make_mesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                             max_text_tokens=30, max_mel_tokens=48)
+    model = UnifiedVoice(cfg)
+    variables = init_unified_voice(model, jax.random.PRNGKey(0))
+    return model, variables
+
+
+def test_candidate_sharded_decode_matches_single_device(small_model):
+    model, variables = small_model
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+    text = jnp.asarray(np.pad(rng.integers(3, 250, (1, 9)), ((0, 0), (0, 1))),
+                       jnp.int32)
+    settings = SamplerSettings(do_sample=True, max_generate=16)
+
+    base, _ = sample_speech(model, variables, cond, text, jax.random.PRNGKey(7),
+                            num_samples=8, settings=settings,
+                            cache_dtype=jnp.float32)
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        sharded, _ = sample_speech(model, variables, cond, text,
+                                   jax.random.PRNGKey(7), num_samples=8,
+                                   settings=settings, cache_dtype=jnp.float32,
+                                   batch_sharding=batch_sharding(mesh))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(sharded))
+
+
+def test_train_step_multichip():
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

@@ -43,7 +43,7 @@ class SamplerSettings:
 def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray,
                   text_tokens: jnp.ndarray, rng: jax.Array, num_samples: int,
                   settings: SamplerSettings = SamplerSettings(),
-                  cache_dtype=jnp.bfloat16):
+                  cache_dtype=jnp.bfloat16, batch_sharding=None):
     """Sample ``num_samples`` candidate mel-code sequences.
 
     cond_latent: (1, D) or (B, D); text_tokens: (1, T) int32 with the
@@ -59,6 +59,10 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
                          method=UnifiedVoice.compute_prompt)  # (b0, P, D)
     if prompt.shape[0] != num_samples:
         prompt = jnp.broadcast_to(prompt, (num_samples,) + prompt.shape[1:])
+    if batch_sharding is not None:
+        # Shard the candidate batch (SURVEY §2.5: the workhorse parallelism);
+        # GSPMD propagates the sharding through the whole decode scan.
+        prompt = jax.device_put(prompt, batch_sharding)
     return _decode(model, variables, prompt, rng, settings, cache_dtype)
 
 
