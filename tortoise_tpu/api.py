@@ -106,34 +106,35 @@ class TextToSpeech:
         self._models_dir = models_dir
         self._allow_random = allow_random_weights
 
+        def _load(name, init_fn):
+            p, source = weights_lib.get_params(name, init_fn, models_dir,
+                                               allow_random=allow_random_weights)
+            p = p.get("params", p) if isinstance(p, dict) and "params" in p else p
+            if self.dtype == jnp.bfloat16:
+                p = weights_lib.cast_for_inference(p, jnp.bfloat16)
+            return {"params": p}, source
+
         cfg = ar_config or UnifiedVoiceConfig()
         self.ar_cfg = cfg
         self.autoregressive = UnifiedVoice(cfg, dtype=self.dtype)
-        p, self.ar_source = weights_lib.get_params(
-            "autoregressive",
-            lambda: init_unified_voice(self.autoregressive, jax.random.PRNGKey(0))["params"],
-            models_dir, allow_random=allow_random_weights)
-        self.ar_vars = {"params": p}
+        self.ar_vars, self.ar_source = _load(
+            "autoregressive", lambda: init_unified_voice(self.autoregressive, 0))
 
         dcfg = diffusion_config or DiffusionTtsConfig(
             in_latent_channels=cfg.model_dim)
         self.diff_cfg = dcfg
         self.diffusion = DiffusionTts(dcfg, dtype=self.dtype)
-        p, self.diffusion_source = weights_lib.get_params(
+        self.diffusion_vars, self.diffusion_source = _load(
             "diffusion_decoder",
-            lambda: init_diffusion_tts(self.diffusion, jax.random.PRNGKey(1))["params"],
-            models_dir, allow_random=allow_random_weights)
-        self.diffusion_vars = {"params": p}
+            lambda: init_diffusion_tts(self.diffusion, jax.random.PRNGKey(1))["params"])
 
         ccfg = clvp_config or CLVPConfig()
         self.clvp = CLVP(ccfg, dtype=self.dtype)
-        p, self.clvp_source = weights_lib.get_params(
+        self.clvp_vars, self.clvp_source = _load(
             "clvp",
             lambda: self.clvp.init(jax.random.PRNGKey(2),
                                    jnp.zeros((1, 4), jnp.int32),
-                                   jnp.zeros((1, 4), jnp.int32))["params"],
-            models_dir, allow_random=allow_random_weights)
-        self.clvp_vars = {"params": p}
+                                   jnp.zeros((1, 4), jnp.int32))["params"])
         self.cvvp = None  # lazily loaded (reference api.py:234)
         self.cvvp_vars = None
 

@@ -78,11 +78,14 @@ class TextToSpeechFast:
 
         cfg = ar_config or UnifiedVoiceConfig()
         self.autoregressive = UnifiedVoice(cfg, dtype=dtype)
-        self.ar_vars, self.ar_source = weights_lib.get_params(
+        p, self.ar_source = weights_lib.get_params(
             "autoregressive",
-            lambda: init_unified_voice(self.autoregressive, jax.random.PRNGKey(0))["params"],
+            lambda: init_unified_voice(self.autoregressive, 0),
             models_dir, allow_random=allow_random_weights)
-        self.ar_vars = {"params": self.ar_vars}
+        p = p.get("params", p)
+        if dtype == jnp.bfloat16:
+            p = weights_lib.cast_for_inference(p, jnp.bfloat16)
+        self.ar_vars = {"params": p}
 
         hifi_cfg = HifiganConfig(in_channels=cfg.model_dim, cond_channels=cfg.model_dim)
         self.hifi_decoder = HifiganGenerator(hifi_cfg, dtype=jnp.float32)

@@ -186,10 +186,16 @@ class UnifiedVoice(nn.Module):
         return self.final_norm(hidden.astype(jnp.float32))
 
 
-def init_unified_voice(model: UnifiedVoice, rng) -> dict:
+def init_unified_voice(model: UnifiedVoice, rng, host_side: bool | None = None) -> dict:
     """Initialize ALL parameter collections (linen creates submodule params
     lazily per method, so a plain ``init`` through ``__call__`` would miss the
-    conditioning encoder)."""
+    conditioning encoder).
+
+    ``host_side`` (default: on for the full-size config) derives shapes via
+    ``jax.eval_shape`` and fills them with host numpy randoms instead of
+    compiling the (very large) on-device init program — the 30-layer init
+    otherwise takes minutes to compile on a remote TPU.
+    """
     cfg = model.config
 
     def touch_all(mdl):
@@ -197,7 +203,44 @@ def init_unified_voice(model: UnifiedVoice, rng) -> dict:
         mdl(jnp.zeros((1, cfg.model_dim)), jnp.zeros((1, 4), jnp.int32),
             jnp.zeros((1, 4), jnp.int32), jnp.full((1,), 4 * cfg.mel_length_compression))
 
-    return model.init(rng, method=touch_all)
+    if host_side is None:
+        host_side = cfg.layers * cfg.model_dim >= 8 * 1024
+    if not host_side:
+        if isinstance(rng, int):
+            rng = jax.random.PRNGKey(rng)
+        return model.init(rng, method=touch_all)
+
+    import numpy as np
+
+    # No device ops on this path: trace shapes abstractly, seed from the host.
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    shapes = jax.eval_shape(lambda r: model.init(r, method=touch_all), key_spec)
+    if isinstance(rng, int):
+        seed = rng
+    else:
+        seed = int(np.asarray(jax.random.key_data(rng))[-1])
+    gen = np.random.Generator(np.random.SFC64(seed))
+
+    def normal(std, shape, dtype):
+        if dtype == np.float32 or dtype == jnp.float32:
+            return gen.standard_normal(shape, dtype=np.float32) * np.float32(std)
+        return (gen.standard_normal(shape, dtype=np.float32) * std).astype(dtype)
+
+    # Params stay host-side numpy: device transfer happens lazily on first
+    # apply (a 1.7 GB eager transfer through a tunneled TPU takes minutes).
+    def fill(path, sd):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        shape, dtype = sd.shape, sd.dtype
+        if name in ("bias", "b"):
+            return np.zeros(shape, dtype)
+        if name in ("scale", "g"):
+            return np.ones(shape, dtype)
+        if name == "embedding":
+            return normal(0.02, shape, dtype)
+        fan_in = shape[0] if len(shape) >= 2 else max(shape[-1], 1)
+        return normal(1.0 / np.sqrt(fan_in), shape, dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
 
 
 def _xent(logits, targets):

@@ -64,6 +64,12 @@ def _load_mp3(path: str, sampling_rate: int) -> np.ndarray:
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if orig_sr == target_sr:
         return audio
+    from tortoise_tpu import native
+
+    if audio.ndim == 1 and native.available():
+        return native.resample(audio, orig_sr, target_sr)
+    if audio.ndim == 2 and audio.shape[0] == 1 and native.available():
+        return native.resample(audio[0], orig_sr, target_sr)[None]
     g = np.gcd(int(orig_sr), int(target_sr))
     return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
 

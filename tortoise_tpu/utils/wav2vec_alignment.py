@@ -27,6 +27,12 @@ def max_alignment(s1: str, s2: str, skip_character: str = "~") -> str:
     """
     assert skip_character not in s1, (
         f"Found the skip character {skip_character} in the provided string, {s1}")
+    from tortoise_tpu import native
+
+    if native.available():
+        fast = native.align_dp(s1, s2, skip_character)
+        if fast is not None:
+            return fast
     n, m = len(s1), len(s2)
     if n == 0:
         return ""

@@ -108,3 +108,21 @@ def get_params(name: str, init_fn, models_dir: str | None = None,
     warnings.warn(f"no checkpoint for '{name}'; using random initialization "
                   "(output will be noise, perf/shape testing only)")
     return init_fn(), "random"
+
+
+def cast_for_inference(params: dict, dtype) -> dict:
+    """Cast float params to the serving dtype (bf16), keeping normalization
+    scales/biases in float32. Halves HBM residency, host->device transfer and
+    the per-decode-step weight reads."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(path, leaf):
+        name = "/".join(getattr(p, "key", str(p)) for p in path)
+        if leaf.dtype != np.float32 and leaf.dtype != jnp.float32:
+            return leaf
+        if any(k in name for k in ("Norm", "norm", "ln_")):
+            return leaf
+        return jnp.asarray(leaf, dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
