@@ -44,7 +44,7 @@ def _fake_model_torch(cond_free_default=False):
     return model
 
 
-def _fake_model_jax(x, t_orig, pre_cond, doubled):
+def _fake_model_jax(variables, x, t_orig, pre_cond, doubled):
     t = t_orig.astype(jnp.float32).reshape(-1, *([1] * (x.ndim - 1)))
     base = 0.05 * x + 0.001 * t
     if doubled:
@@ -72,7 +72,7 @@ def test_p_mean_variance_parity(cond_free, t_step):
     xj = jnp.asarray(x.transpose(0, 2, 1))  # ours is (B, T, C)
     t_orig = jnp.full((1,), tables["timestep_map"][t_step])
     cfk = 2.0 * (1 - t_step / STEPS)
-    eps, var_values = jsampler._model_out(_fake_model_jax, xj, t_orig, None, cfg, cfk)
+    eps, var_values = jsampler._model_out(_fake_model_jax, None, xj, t_orig, None, cfg, cfk)
     mean, logvar, pred_xstart = jsampler._p_mean_variance(
         tables, xj, t_step, eps, var_values, True)
 
@@ -91,9 +91,9 @@ def test_full_loop_runs_and_is_deterministic():
     loop = jsampler.make_p_sample_loop(_fake_model_jax, schedule,
                                        jsampler.SamplerConfig(cond_free=True))
     noise = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 4))
-    out1 = loop(None, noise, jax.random.PRNGKey(1))
-    out2 = loop(None, noise, jax.random.PRNGKey(1))
-    out3 = loop(None, noise, jax.random.PRNGKey(2))
+    out1 = loop(None, None, noise, jax.random.PRNGKey(1))
+    out2 = loop(None, None, noise, jax.random.PRNGKey(1))
+    out3 = loop(None, None, noise, jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(out1)).all()
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 0

@@ -112,7 +112,8 @@ class TextToSpeech:
             p = p.get("params", p) if isinstance(p, dict) and "params" in p else p
             if self.dtype == jnp.bfloat16:
                 p = weights_lib.cast_for_inference(p, jnp.bfloat16)
-            return {"params": p}, source
+            # resident on device: host-numpy jit args would re-transfer per call
+            return jax.device_put({"params": p}), source
 
         cfg = ar_config or UnifiedVoiceConfig()
         self.ar_cfg = cfg
@@ -145,54 +146,56 @@ class TextToSpeech:
                                       jnp.zeros((1, 12, 100)),
                                       jnp.zeros((1, 12, 64)))["params"],
             models_dir, allow_random=allow_random_weights)
-        self.vocoder_vars = {"params": p}
+        self.vocoder_vars = jax.device_put({"params": p})
 
         self.rlg_auto = None
         self.rlg_diffusion = None
 
         self._diffusion_loops = {}  # (steps, cond_free, cond_free_k) -> loop
 
-        # jitted building blocks ---------------------------------------
+        # jitted building blocks: param trees are always EXPLICIT arguments
+        # (closing over host arrays bakes them into the HLO as constants,
+        # which makes compiles of the full-size models pathologically slow)
         @jax.jit
-        def _ar_conditioning(mels):
-            return self.autoregressive.apply(self.ar_vars, mels,
+        def _ar_conditioning(v, mels):
+            return self.autoregressive.apply(v, mels,
                                              method=UnifiedVoice.get_conditioning)
 
         @jax.jit
-        def _diff_conditioning(mels):
-            return self.diffusion.apply(self.diffusion_vars, mels,
+        def _diff_conditioning(v, mels):
+            return self.diffusion.apply(v, mels,
                                         method=DiffusionTts.get_conditioning)
 
         @jax.jit
-        def _clvp_scores(text, codes):
-            return self.clvp.apply(self.clvp_vars, text, codes,
-                                   method=CLVP.score_candidates)
+        def _clvp_scores(v, text, codes):
+            return self.clvp.apply(v, text, codes, method=CLVP.score_candidates)
 
         @jax.jit
-        def _relatent(cond, text, codes):
+        def _relatent(v, cond, text, codes):
             return self.autoregressive.apply(
-                self.ar_vars, cond, text, codes,
+                v, cond, text, codes,
                 jnp.full((codes.shape[0],),
                          codes.shape[1] * cfg.mel_length_compression),
                 return_latent=True)
 
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def _timestep_independent(latents, diff_cond, out_len):
-            return self.diffusion.apply(self.diffusion_vars, latents, diff_cond,
-                                        out_len,
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def _timestep_independent(v, latents, diff_cond, out_len):
+            return self.diffusion.apply(v, latents, diff_cond, out_len,
                                         method=DiffusionTts.timestep_independent)
 
         @jax.jit
-        def _vocode(mel, z):
-            return self.vocoder.apply(self.vocoder_vars, mel, z,
+        def _vocode(v, mel, z):
+            return self.vocoder.apply(v, mel, z,
                                       method=UnivNetGenerator.inference)
 
-        self._ar_conditioning = _ar_conditioning
-        self._diff_conditioning = _diff_conditioning
-        self._clvp_scores = _clvp_scores
-        self._relatent = _relatent
-        self._timestep_independent = _timestep_independent
-        self._vocode = _vocode
+        self._ar_conditioning = functools.partial(_ar_conditioning, self.ar_vars)
+        self._diff_conditioning = functools.partial(_diff_conditioning,
+                                                    self.diffusion_vars)
+        self._clvp_scores = functools.partial(_clvp_scores, self.clvp_vars)
+        self._relatent = functools.partial(_relatent, self.ar_vars)
+        self._timestep_independent = functools.partial(_timestep_independent,
+                                                       self.diffusion_vars)
+        self._vocode = functools.partial(_vocode, self.vocoder_vars)
 
     # ------------------------------------------------------------------
     def load_cvvp(self):
@@ -207,10 +210,12 @@ class TextToSpeech:
         self.cvvp_vars = {"params": p}
 
         @jax.jit
-        def _cvvp_scores(mel_cond, codes):
-            return self.cvvp.apply(self.cvvp_vars, mel_cond, codes)
+        def _cvvp_scores(v, mel_cond, codes):
+            return self.cvvp.apply(v, mel_cond, codes)
 
-        self._cvvp_scores = _cvvp_scores
+        import functools as _ft
+
+        self._cvvp_scores = _ft.partial(_cvvp_scores, self.cvvp_vars)
 
     # ------------------------------------------------------------------
     def get_conditioning_latents(self, voice_samples, return_mels=False):
@@ -261,13 +266,9 @@ class TextToSpeech:
         if key not in self._diffusion_loops:
             schedule = spaced_schedule("linear", 4000, steps)
             model = self.diffusion
-            variables = self.diffusion_vars
 
-            def model_fn(x, t, pre_cond, doubled):
-                if doubled:
-                    return model.apply(variables, x, t,
-                                       precomputed_aligned_embeddings=pre_cond)
-                return model.apply(variables, x, t,
+            def model_fn(v, x, t, pre_cond, doubled):
+                return model.apply(v, x, t,
                                    precomputed_aligned_embeddings=pre_cond)
 
             self._diffusion_loops[key] = make_p_sample_loop(
@@ -293,7 +294,7 @@ class TextToSpeech:
         rng, r = jax.random.split(rng)
         noise = jax.random.normal(r, (latents.shape[0], out_len, 100)) * temperature
         loop = self._diffusion_loop(diffusion_iterations, cond_free, cond_free_k)
-        mel = loop(pre_cond, noise, rng)  # (1, out_len, 100)
+        mel = loop(self.diffusion_vars, pre_cond, noise, rng)  # (1, out_len, 100)
         mel = mel_ops.denormalize_tacotron_mel(mel)
         return jnp.swapaxes(mel, 1, 2)[:, :, :out_len]
 

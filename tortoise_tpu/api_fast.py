@@ -85,7 +85,8 @@ class TextToSpeechFast:
         p = p.get("params", p)
         if dtype == jnp.bfloat16:
             p = weights_lib.cast_for_inference(p, jnp.bfloat16)
-        self.ar_vars = {"params": p}
+        # resident on device: host-numpy jit args would re-transfer per call
+        self.ar_vars = jax.device_put({"params": p})
 
         hifi_cfg = HifiganConfig(in_channels=cfg.model_dim, cond_channels=cfg.model_dim)
         self.hifi_decoder = HifiganGenerator(hifi_cfg, dtype=jnp.float32)
@@ -95,7 +96,7 @@ class TextToSpeechFast:
                 jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.model_dim)),
                 jnp.zeros((1, cfg.model_dim)))["params"],
             models_dir, allow_random=allow_random_weights)
-        self.hifi_vars = {"params": self.hifi_vars}
+        self.hifi_vars = jax.device_put({"params": self.hifi_vars})
 
         self.rlg_auto = None
         self._rlg_vars = None
@@ -104,27 +105,28 @@ class TextToSpeechFast:
 
         cfgd = self.autoregressive.config
 
+        # param trees are explicit jit arguments (closure constants would be
+        # baked into the HLO, making full-size compiles pathologically slow)
         @jax.jit
-        def _conditioning(mels):
-            return self.autoregressive.apply(self.ar_vars, mels,
+        def _conditioning(v, mels):
+            return self.autoregressive.apply(v, mels,
                                              method=UnifiedVoice.get_conditioning)
 
-        @functools.partial(jax.jit, static_argnums=())
-        def _relatent(cond, text, codes):
-            lat = self.autoregressive.apply(
-                self.ar_vars, cond, text, codes,
+        @jax.jit
+        def _relatent(v, cond, text, codes):
+            return self.autoregressive.apply(
+                v, cond, text, codes,
                 jnp.full((codes.shape[0],), codes.shape[1] * cfgd.mel_length_compression),
                 return_latent=True)
-            return lat
 
         @jax.jit
-        def _decode_wav(latents, cond):
-            return self.hifi_decoder.apply(self.hifi_vars, latents, cond,
+        def _decode_wav(v, latents, cond):
+            return self.hifi_decoder.apply(v, latents, cond,
                                            method=HifiganGenerator.inference)
 
-        self._conditioning = _conditioning
-        self._relatent = _relatent
-        self._decode_wav = _decode_wav
+        self._conditioning = functools.partial(_conditioning, self.ar_vars)
+        self._relatent = functools.partial(_relatent, self.ar_vars)
+        self._decode_wav = functools.partial(_decode_wav, self.hifi_vars)
 
     # ------------------------------------------------------------------
     def get_conditioning_latents(self, voice_samples) -> np.ndarray:

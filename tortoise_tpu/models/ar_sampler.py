@@ -71,7 +71,9 @@ def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtyp
     cfg = model.config
     b, p_len, d = prompt.shape
     max_gen = settings.max_generate
-    cache = init_kv_cache(cfg.gpt_config, b, p_len + max_gen, dtype=cache_dtype)
+    # Cache padded to a 256 multiple so the flash-decode chunking divides it.
+    cache_len = -(-(p_len + max_gen) // 256) * 256
+    cache = init_kv_cache(cfg.gpt_config, b, cache_len, dtype=cache_dtype)
 
     # --- prefill ---------------------------------------------------------
     hidden, cache = model.apply(variables, prompt, cache, 0,

@@ -65,17 +65,24 @@ class GPT2Attention(nn.Module):
                                               (0, 0, cache_index, 0))
             cv = jax.lax.dynamic_update_slice(layer_cache["v"], v.astype(layer_cache["v"].dtype),
                                               (0, 0, cache_index, 0))
-            t_max = ck.shape[2]
-            key_pos = jnp.arange(t_max)[None, :]                     # (1, T_max)
-            query_pos = cache_index + jnp.arange(t)[:, None]         # (T, 1)
-            mask = key_pos <= query_pos                              # causal within cache
-            logits = jnp.einsum("bhtd,bhsd->bhts", q, ck.astype(self.dtype),
-                                preferred_element_type=jnp.float32) / np.sqrt(dh)
-            logits = jnp.where(mask[None, None], logits, NEG_INF)
-            if attn_bias is not None:
-                logits = logits + attn_bias
-            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhts,bhsd->bhtd", w, cv.astype(self.dtype))
+            if t == 1 and ck.shape[2] % 256 == 0:
+                # flash-decode: dynamic-trip-count chunked online softmax —
+                # only the valid cache prefix is read (ops/attention.py)
+                from tortoise_tpu.ops.attention import chunked_decode_attention
+
+                out = chunked_decode_attention(q, ck, cv, cache_index)
+            else:
+                t_max = ck.shape[2]
+                key_pos = jnp.arange(t_max)[None, :]                 # (1, T_max)
+                query_pos = cache_index + jnp.arange(t)[:, None]     # (T, 1)
+                mask = key_pos <= query_pos                          # causal within cache
+                logits = jnp.einsum("bhtd,bhsd->bhts", q, ck.astype(self.dtype),
+                                    preferred_element_type=jnp.float32) / np.sqrt(dh)
+                logits = jnp.where(mask[None, None], logits, NEG_INF)
+                if attn_bias is not None:
+                    logits = logits + attn_bias
+                w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+                out = jnp.einsum("bhts,bhsd->bhtd", w, cv.astype(self.dtype))
             new_cache = {"k": ck, "v": cv}
         else:
             mask = jnp.tril(jnp.ones((t, t), dtype=bool))
