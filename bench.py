@@ -42,6 +42,9 @@ def main():
     import jax
     import numpy as np
 
+    import tortoise_tpu
+
+    tortoise_tpu.enable_compilation_cache()
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
 

@@ -1,0 +1,77 @@
+"""Checkpoint save/load roundtrip, bf16 casting, and the voice registry."""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tortoise_tpu import weights as w
+from tortoise_tpu.utils import audio as audio_utils
+
+
+def test_params_roundtrip(tmp_path):
+    params = {"gpt": {"h_0": {"attn": {"c_attn": {"kernel": np.ones((4, 12), np.float32),
+                                                  "bias": np.zeros(12, np.float32)}}},
+                      "ln_f": {"scale": np.ones(4, np.float32)}},
+              "temperature": np.asarray(1.5, np.float32)}
+    path = str(tmp_path / "m.npz")
+    w.save_params(path, params)
+    loaded = w.load_params(path)
+    np.testing.assert_array_equal(loaded["gpt"]["h_0"]["attn"]["c_attn"]["kernel"],
+                                  params["gpt"]["h_0"]["attn"]["c_attn"]["kernel"])
+    assert float(loaded["temperature"]) == 1.5
+
+
+def test_cast_for_inference_keeps_norms_f32():
+    params = {"gpt": {"h_0": {"ln_1": {"scale": np.ones(4, np.float32)},
+                              "attn": {"c_attn": {"kernel": np.ones((4, 12), np.float32)}}},
+              },
+              "final_norm": {"scale": np.ones(4, np.float32)}}
+    cast = w.cast_for_inference(params, jnp.bfloat16)
+    assert cast["gpt"]["h_0"]["attn"]["c_attn"]["kernel"].dtype == jnp.bfloat16
+    assert cast["gpt"]["h_0"]["ln_1"]["scale"].dtype == np.float32
+    assert cast["final_norm"]["scale"].dtype == np.float32
+
+
+def test_get_params_prefers_native(tmp_path, monkeypatch):
+    w.save_params(str(tmp_path / "toy.npz"), {"a": np.ones(3, np.float32)})
+    params, source = w.get_params("toy", lambda: {"a": np.zeros(3)},
+                                  models_dir=str(tmp_path))
+    assert source == "native" and params["a"].sum() == 3
+
+
+def test_voice_registry_and_latents(tmp_path):
+    vdir = tmp_path / "voices" / "testvoice"
+    os.makedirs(vdir)
+    sr = 22050
+    wav = (np.sin(np.linspace(0, 100, sr)) * 0.3).astype(np.float32)
+    audio_utils.save_wav(str(vdir / "clip.wav"), wav, sr)
+    voices = audio_utils.get_voices([str(tmp_path / "voices")])
+    assert "testvoice" in voices
+    clips, latents = audio_utils.load_voice("testvoice", [str(tmp_path / "voices")])
+    assert latents is None and len(clips) == 1
+    assert clips[0].shape[0] == 1 and abs(clips[0]).max() <= 1.0
+
+    # latent-only voice
+    ldir = tmp_path / "voices" / "latentvoice"
+    os.makedirs(ldir)
+    audio_utils.save_latents(str(ldir / "latentvoice.npz"),
+                             np.ones((1, 8)), np.ones((1, 16)))
+    clips, latents = audio_utils.load_voice("latentvoice", [str(tmp_path / "voices")])
+    assert clips is None
+    auto, diff = latents
+    assert auto.shape == (1, 8) and diff.shape == (1, 16)
+
+    # blending latent voices averages
+    _, merged = audio_utils.load_voices(["latentvoice", "latentvoice"],
+                                        [str(tmp_path / "voices")])
+    np.testing.assert_array_equal(merged[0], auto)
+
+
+def test_reference_builtin_voices_visible():
+    if not os.path.isdir(audio_utils.REFERENCE_VOICES_DIR):
+        pytest.skip("reference voices not mounted")
+    voices = audio_utils.get_voices()
+    assert "train_dotrice" in voices and "angie" in voices
+    assert len(voices) >= 25

@@ -12,3 +12,18 @@ __version__ = "0.1.0"
 
 __all__ = ["api", "api_fast", "models", "ops", "diffusion", "parallel",
            "utils", "training", "presets", "weights"]
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable the persistent XLA compilation cache so CLI invocations reuse
+    compiled programs across processes (first compile of the 30-layer decode
+    scan takes minutes on a remote TPU; cached it loads in seconds)."""
+    import os
+
+    import jax
+
+    path = path or os.path.join(os.path.expanduser("~"), ".cache",
+                                "tortoise_tpu", "xla_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -12,9 +12,10 @@ Design differences from the reference (all TPU-motivated):
 * fixed-shape compute: codes/latents come back padded to ``max_mel_tokens``
   and are sliced host-side, so every sentence reuses the same compiled
   programs (the decoder buckets latent lengths to avoid recompiles);
-* streaming decodes an incremental latent window instead of re-decoding the
-  entire accumulated latent per chunk (the reference is O(n^2) in clip
-  length, api_fast.py:413).
+* streaming interleaves segmented AR decode with audio emission — the first
+  chunk plays while the model is still generating (the reference runs its
+  python generate loop to the first 60 tokens the same way but single-token
+  at a time, api_fast.py:400-411).
 """
 from __future__ import annotations
 
@@ -225,35 +226,47 @@ class TextToSpeechFast:
         ``stream_chunk_size``-token chunks with ``overlap_wav_len``-sample
         linear crossfade (handle_chunks, reference api_fast.py:285-308).
         """
+        from tortoise_tpu.models.ar_sampler import stream_speech
+
         det_seed, text_tokens, cond = self._prepare(
             text, voice_samples, conditioning_latents, use_deterministic_seed)
         settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
                                    max_generate=max_mel_tokens)
-        codes, latents = sample_speech(self.autoregressive, self.ar_vars,
-                                       jnp.asarray(cond), jnp.asarray(text_tokens),
-                                       jax.random.PRNGKey(det_seed), num_samples=1,
-                                       settings=settings)
-        n = self._trim_codes(np.asarray(codes)[0])
-        lat = np.asarray(latents)[:, :n].astype(np.float32)
 
+        # True incremental decode: the AR scan runs in fixed-size segments and
+        # audio is emitted as soon as the first buffer of latents exists —
+        # this bounds first-audio latency by prefill + one segment + one
+        # decoder call (the reference's first chunk waits for 60 tokens too,
+        # api_fast.py:400-411, but decodes the full history each time).
         first_buffer = 60
         wav_gen_prev, wav_overlap = None, None
-        emitted = 0
-        pos = 0
-        while pos < n:
-            take = max(stream_chunk_size, first_buffer) if first_buffer else stream_chunk_size
+        emitted_upto = 0
+        for codes, latents in stream_speech(
+                self.autoregressive, self.ar_vars, jnp.asarray(cond),
+                jnp.asarray(text_tokens), jax.random.PRNGKey(det_seed),
+                settings=settings, seg_len=stream_chunk_size):
+            n = self._trim_codes(codes[0])
+            done = n < codes.shape[1] or n >= max_mel_tokens
+            ready = n if done else (n // stream_chunk_size) * stream_chunk_size
+            threshold = first_buffer if emitted_upto == 0 else \
+                emitted_upto + stream_chunk_size
+            if not done and ready < threshold:
+                continue
             first_buffer = 0
-            pos = min(pos + take, n)
-            chunk_lat = lat[:, :pos]
-            nb = -(-pos // self.latent_bucket) * self.latent_bucket if self.latent_bucket else pos
-            padded = np.pad(chunk_lat, ((0, 0), (0, nb - pos), (0, 0)))
-            wav_gen = np.asarray(self._decode_wav(jnp.asarray(padded), jnp.asarray(cond)))
-            wav_gen = wav_gen[0, :_expected_samples(pos), 0]
+            emitted_upto = ready
+            lat = latents[:, :ready].astype(np.float32)
+            nb = -(-ready // self.latent_bucket) * self.latent_bucket \
+                if self.latent_bucket else ready
+            padded = np.pad(lat, ((0, 0), (0, nb - ready), (0, 0)))
+            wav_gen = np.asarray(self._decode_wav(jnp.asarray(padded),
+                                                  jnp.asarray(cond)))
+            wav_gen = wav_gen[0, :_expected_samples(ready), 0]
             chunk, wav_gen_prev, wav_overlap = handle_chunks(
                 wav_gen, wav_gen_prev, wav_overlap, overlap_wav_len)
-            emitted += len(chunk)
             yield chunk
+            if done:
+                return
 
     def deterministic_state(self, seed=None):
         return deterministic_state(seed)

@@ -9,6 +9,12 @@ exact HF sampling semantics (repetition penalty over the full sequence
 including the prompt's fake tokens, temperature/top-k/top-p warpers,
 stop-token latching and stop-padding).
 
+Two drive modes share the same compiled step:
+* ``sample_speech`` — one fused prefill+scan program (batch candidates);
+* ``stream_speech`` — prefill then fixed-size scan segments, yielding
+  (tokens, latents) per segment for low first-audio latency (the equivalent
+  of the reference's vendored stream_generator, stream_generator.py:722-1000).
+
 Reference quirks intentionally kept for checkpoint parity:
 * the s-th generated token enters with mel position s+2 — position 1 is
   never used (GPT2InferenceModel.forward, reference :145-149);
@@ -23,6 +29,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tortoise_tpu.models.autoregressive import UnifiedVoice
 from tortoise_tpu.models.gpt2 import init_kv_cache
@@ -40,6 +47,79 @@ class SamplerSettings:
     do_sample: bool = True
 
 
+def _warp_and_sample(settings: SamplerSettings, logits, seen, step_rng):
+    warped = sampling.process_logits(
+        logits, seen,
+        repetition_penalty=settings.repetition_penalty,
+        temperature=settings.temperature if settings.do_sample else 1.0,
+        top_k=settings.top_k if settings.do_sample else 0,
+        top_p=settings.top_p if settings.do_sample else 1.0,
+        typical_mass=settings.typical_mass)
+    if settings.do_sample:
+        return jax.random.categorical(step_rng, warped, axis=-1)
+    return jnp.argmax(warped, axis=-1)
+
+
+def _step(model, variables, settings: SamplerSettings, carry, _):
+    """One decode step. carry = (cache, prev_tok, seen, finished, rng, s, pos):
+    s = mel step of prev_tok (its position is s+2), pos = cache write index."""
+    cache, prev_tok, seen, finished, rng, s, pos = carry
+    cfg = model.config
+    emb = model.apply(variables, prev_tok[:, None], s,
+                      method=UnifiedVoice.decode_embed)
+    hidden, cache = model.apply(variables, emb, cache, pos,
+                                method=UnifiedVoice.gpt_with_cache)
+    h = hidden[:, 0]
+    logits = model.apply(variables, h[:, None],
+                         method=UnifiedVoice.hidden_to_mel_logits)[:, 0]
+    rng, r = jax.random.split(rng)
+    tok = _warp_and_sample(settings, logits, seen, r).astype(jnp.int32)
+    tok = jnp.where(finished, cfg.stop_mel_token, tok)
+    finished = finished | (tok == cfg.stop_mel_token)
+    seen = seen.at[jnp.arange(seen.shape[0]), tok].set(True)
+    latent = model.apply(variables, h, method=UnifiedVoice.hidden_to_latent)
+    return (cache, tok, seen, finished, rng, s + 1, pos + 1), (tok, latent)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _prefill(model, variables, prompt, rng, settings: SamplerSettings, cache_dtype):
+    """Process the prompt, sample token 0. Returns (carry, tok0, latent0)."""
+    cfg = model.config
+    b, p_len, d = prompt.shape
+    # Cache padded to a 256 multiple so the flash-decode chunking divides it.
+    cache_len = -(-(p_len + settings.max_generate) // 256) * 256
+    cache = init_kv_cache(cfg.gpt_config, b, cache_len, dtype=cache_dtype)
+
+    hidden, cache = model.apply(variables, prompt, cache, 0,
+                                method=UnifiedVoice.gpt_with_cache)
+    last_hidden = hidden[:, -1]
+    logits0 = model.apply(variables, last_hidden[:, None],
+                          method=UnifiedVoice.hidden_to_mel_logits)[:, 0]
+
+    # Repetition-penalty "seen" set: HF builds the prompt from a tensor of 1s
+    # with a trailing start_mel token, so both ids are penalized throughout.
+    seen0 = jnp.zeros((b, cfg.number_mel_codes), bool)
+    seen0 = seen0.at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+
+    rng, r0 = jax.random.split(rng)
+    tok0 = _warp_and_sample(settings, logits0, seen0, r0).astype(jnp.int32)
+    finished0 = tok0 == cfg.stop_mel_token
+    seen0 = seen0.at[jnp.arange(b), tok0].set(True)
+    latent0 = model.apply(variables, last_hidden,
+                          method=UnifiedVoice.hidden_to_latent)
+    carry = (cache, tok0, seen0, finished0, rng,
+             jnp.zeros((), jnp.int32), jnp.full((), p_len, jnp.int32))
+    return carry, tok0, latent0
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _segment(model, variables, carry, settings: SamplerSettings, seg_len: int):
+    """Scan ``seg_len`` decode steps from ``carry``."""
+    step = functools.partial(_step, model, variables, settings)
+    carry, (toks, latents) = jax.lax.scan(step, carry, None, length=seg_len)
+    return carry, jnp.swapaxes(toks, 0, 1), jnp.swapaxes(latents, 0, 1)
+
+
 def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray,
                   text_tokens: jnp.ndarray, rng: jax.Array, num_samples: int,
                   settings: SamplerSettings = SamplerSettings(),
@@ -53,8 +133,13 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
     path feeds to HiFi-GAN. Positions after the stop token hold the stop
     token / the last valid latent.
     """
-    cfg = model.config
+    prompt = _make_prompt(model, variables, cond_latent, text_tokens,
+                          num_samples, batch_sharding)
+    return _decode(model, variables, prompt, rng, settings, cache_dtype)
 
+
+def _make_prompt(model, variables, cond_latent, text_tokens, num_samples,
+                 batch_sharding=None):
     prompt = model.apply(variables, cond_latent, text_tokens,
                          method=UnifiedVoice.compute_prompt)  # (b0, P, D)
     if prompt.shape[0] != num_samples:
@@ -63,71 +148,46 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
         # Shard the candidate batch (SURVEY §2.5: the workhorse parallelism);
         # GSPMD propagates the sharding through the whole decode scan.
         prompt = jax.device_put(prompt, batch_sharding)
-    return _decode(model, variables, prompt, rng, settings, cache_dtype)
+    return prompt
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtype):
-    cfg = model.config
-    b, p_len, d = prompt.shape
-    max_gen = settings.max_generate
-    # Cache padded to a 256 multiple so the flash-decode chunking divides it.
-    cache_len = -(-(p_len + max_gen) // 256) * 256
-    cache = init_kv_cache(cfg.gpt_config, b, cache_len, dtype=cache_dtype)
-
-    # --- prefill ---------------------------------------------------------
-    hidden, cache = model.apply(variables, prompt, cache, 0,
-                                method=UnifiedVoice.gpt_with_cache)
-    last_hidden = hidden[:, -1]
-    logits0 = model.apply(variables, last_hidden[:, None],
-                          method=UnifiedVoice.hidden_to_mel_logits)[:, 0]
-
-    # Repetition-penalty "seen" set: HF builds the prompt from a tensor of 1s
-    # with a trailing start_mel token, so both ids are penalized throughout.
-    seen0 = jnp.zeros((b, cfg.number_mel_codes), bool)
-    seen0 = seen0.at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
-
-    def warp_and_sample(logits, seen, step_rng):
-        warped = sampling.process_logits(
-            logits, seen,
-            repetition_penalty=settings.repetition_penalty,
-            temperature=settings.temperature if settings.do_sample else 1.0,
-            top_k=settings.top_k if settings.do_sample else 0,
-            top_p=settings.top_p if settings.do_sample else 1.0,
-            typical_mass=settings.typical_mass)
-        if settings.do_sample:
-            return jax.random.categorical(step_rng, warped, axis=-1)
-        return jnp.argmax(warped, axis=-1)
-
-    rng, r0 = jax.random.split(rng)
-    tok0 = warp_and_sample(logits0, seen0, r0).astype(jnp.int32)
-    finished0 = tok0 == cfg.stop_mel_token
-    tok0 = jnp.where(finished0, cfg.stop_mel_token, tok0)
-    seen0 = seen0.at[jnp.arange(b), tok0].set(True)
-    latent0 = model.apply(variables, last_hidden,
-                          method=UnifiedVoice.hidden_to_latent)
-
-    # --- decode scan ------------------------------------------------------
-    def step(carry, s):
-        cache, prev_tok, seen, finished, rng = carry
-        emb = model.apply(variables, prev_tok[:, None], s,
-                          method=UnifiedVoice.decode_embed)
-        hidden, cache = model.apply(variables, emb, cache, p_len + s,
-                                    method=UnifiedVoice.gpt_with_cache)
-        h = hidden[:, 0]
-        logits = model.apply(variables, h[:, None],
-                             method=UnifiedVoice.hidden_to_mel_logits)[:, 0]
-        rng, r = jax.random.split(rng)
-        tok = warp_and_sample(logits, seen, r).astype(jnp.int32)
-        tok = jnp.where(finished, cfg.stop_mel_token, tok)
-        finished = finished | (tok == cfg.stop_mel_token)
-        seen = seen.at[jnp.arange(seen.shape[0]), tok].set(True)
-        latent = model.apply(variables, h, method=UnifiedVoice.hidden_to_latent)
-        return (cache, tok, seen, finished, rng), (tok, latent)
-
-    carry0 = (cache, tok0, seen0, finished0, rng)
-    _, (toks, latents) = jax.lax.scan(step, carry0, jnp.arange(max_gen - 1))
-
-    codes = jnp.concatenate([tok0[:, None], jnp.swapaxes(toks, 0, 1)], axis=1)
-    lat = jnp.concatenate([latent0[:, None], jnp.swapaxes(latents, 0, 1)], axis=1)
+    """Fused prefill + full-length scan (the batch-candidates path)."""
+    carry, tok0, latent0 = _prefill.__wrapped__(model, variables, prompt, rng,
+                                                settings, cache_dtype)
+    carry, toks, latents = _segment.__wrapped__(model, variables, carry, settings,
+                                                settings.max_generate - 1)
+    codes = jnp.concatenate([tok0[:, None], toks], axis=1)
+    lat = jnp.concatenate([latent0[:, None], latents], axis=1)
     return codes, lat
+
+
+def stream_speech(model: UnifiedVoice, variables: dict, cond_latent, text_tokens,
+                  rng, settings: SamplerSettings = SamplerSettings(),
+                  seg_len: int = 20, cache_dtype=jnp.bfloat16):
+    """Incremental decode: yields (codes (1, n), latents (1, n, D)) numpy
+    chunks as they are produced, stopping early once the stop token latches.
+    First yield after prefill + one segment — this is what bounds first-audio
+    latency."""
+    cfg = model.config
+    prompt = _make_prompt(model, variables, cond_latent, text_tokens, 1)
+    carry, tok0, latent0 = _prefill(model, variables, prompt, rng, settings,
+                                    cache_dtype)
+    pending_toks = [np.asarray(tok0)[:, None]]
+    pending_lats = [np.asarray(latent0)[:, None]]
+    produced = 1
+    finished = bool(np.asarray(tok0)[0] == cfg.stop_mel_token)
+    while produced < settings.max_generate and not finished:
+        n = min(seg_len, settings.max_generate - produced)
+        carry, toks, latents = _segment(model, variables, carry, settings, n)
+        toks = np.asarray(toks)
+        pending_toks.append(toks)
+        pending_lats.append(np.asarray(latents))
+        produced += n
+        finished = bool((toks[0] == cfg.stop_mel_token).any())
+        yield np.concatenate(pending_toks, 1), np.concatenate(pending_lats, 1)
+        pending_toks = [np.concatenate(pending_toks, 1)]
+        pending_lats = [np.concatenate(pending_lats, 1)]
+    if len(pending_toks) == 1 and produced == 1:
+        yield pending_toks[0], pending_lats[0]
