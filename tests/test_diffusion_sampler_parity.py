@@ -44,7 +44,7 @@ def _fake_model_torch(cond_free_default=False):
     return model
 
 
-def _fake_model_jax(variables, x, t_orig, pre_cond, doubled):
+def _fake_model_jax(variables, x, t_orig, pre_cond, doubled, valid_len=None):
     t = t_orig.astype(jnp.float32).reshape(-1, *([1] * (x.ndim - 1)))
     base = 0.05 * x + 0.001 * t
     if doubled:

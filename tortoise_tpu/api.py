@@ -183,6 +183,13 @@ class TextToSpeech:
             return self.diffusion.apply(v, latents, diff_cond, out_len,
                                         method=DiffusionTts.timestep_independent)
 
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def _timestep_independent_bucketed(v, latents, n, diff_cond, out_len,
+                                           out_bucket):
+            return self.diffusion.apply(
+                v, latents, n, diff_cond, out_len, out_bucket,
+                method=DiffusionTts.timestep_independent_bucketed)
+
         @jax.jit
         def _vocode(v, mel, z):
             return self.vocoder.apply(v, mel, z,
@@ -195,6 +202,8 @@ class TextToSpeech:
         self._relatent = functools.partial(_relatent, self.ar_vars)
         self._timestep_independent = functools.partial(_timestep_independent,
                                                        self.diffusion_vars)
+        self._timestep_independent_bucketed = functools.partial(
+            _timestep_independent_bucketed, self.diffusion_vars)
         self._vocode = functools.partial(_vocode, self.vocoder_vars)
 
     # ------------------------------------------------------------------
@@ -267,34 +276,49 @@ class TextToSpeech:
             schedule = spaced_schedule("linear", 4000, steps)
             model = self.diffusion
 
-            def model_fn(v, x, t, pre_cond, doubled):
+            def model_fn(v, x, t, pre_cond, doubled, valid_len=None):
                 return model.apply(v, x, t,
-                                   precomputed_aligned_embeddings=pre_cond)
+                                   precomputed_aligned_embeddings=pre_cond,
+                                   valid_len=valid_len)
 
             self._diffusion_loops[key] = make_p_sample_loop(
                 model_fn, schedule,
                 SamplerConfig(cond_free=cond_free, cond_free_k=cond_free_k))
         return self._diffusion_loops[key]
 
+    LATENT_BUCKET = 64  # diffusion programs compile once per latent bucket
+
     def do_spectrogram_diffusion(self, latents, diffusion_conditioning, *,
                                  diffusion_iterations, cond_free, cond_free_k,
                                  temperature, rng):
         """Latents (1, n, D) -> denormalized mel (1, 100, out_len)
-        (reference api.py:117-130)."""
-        out_len = latents.shape[1] * 4 * 24000 // 22050
-        pre = self._timestep_independent(jnp.asarray(latents),
-                                         jnp.asarray(diffusion_conditioning), out_len)
+        (reference api.py:117-130).
+
+        Lengths are bucketed: latents pad to a multiple of LATENT_BUCKET and
+        the masked diffusion model guarantees the valid region matches an
+        exact-length run, so each (bucket, steps) pair compiles exactly once
+        instead of once per sentence length."""
+        n = latents.shape[1]
+        n_bucket = -(-n // self.LATENT_BUCKET) * self.LATENT_BUCKET
+        out_len = n * 4 * 24000 // 22050
+        out_bucket = n_bucket * 4 * 24000 // 22050
+        lat_padded = np.pad(np.asarray(latents), ((0, 0), (0, n_bucket - n), (0, 0)))
+        pre = self._timestep_independent_bucketed(
+            jnp.asarray(lat_padded), jnp.asarray(n),
+            jnp.asarray(diffusion_conditioning), jnp.asarray(out_len), out_bucket)
         if cond_free:
             uncond = jnp.broadcast_to(
                 self.diffusion_vars["params"]["unconditioned_embedding"].astype(pre.dtype),
                 pre.shape)
-            pre_cond = jnp.concatenate([pre, uncond], axis=0)
+            mask = (jnp.arange(out_bucket) < out_len)[None, :, None]
+            pre_cond = jnp.concatenate([pre, uncond * mask.astype(uncond.dtype)],
+                                       axis=0)
         else:
             pre_cond = pre
         rng, r = jax.random.split(rng)
-        noise = jax.random.normal(r, (latents.shape[0], out_len, 100)) * temperature
+        noise = jax.random.normal(r, (latents.shape[0], out_bucket, 100)) * temperature
         loop = self._diffusion_loop(diffusion_iterations, cond_free, cond_free_k)
-        mel = loop(self.diffusion_vars, pre_cond, noise, rng)  # (1, out_len, 100)
+        mel = loop(self.diffusion_vars, pre_cond, noise, rng, jnp.asarray(out_len))
         mel = mel_ops.denormalize_tacotron_mel(mel)
         return jnp.swapaxes(mel, 1, 2)[:, :, :out_len]
 

@@ -49,7 +49,8 @@ def _tables(schedule: DiffusionSchedule) -> dict[str, jnp.ndarray]:
     }
 
 
-def _model_out(model_fn, variables, x, t_orig, pre_cond, cfg: SamplerConfig, cfk):
+def _model_out(model_fn, variables, x, t_orig, pre_cond, cfg: SamplerConfig, cfk,
+               valid_len=None):
     """One (optionally CFG-doubled) model call -> (eps, var_values).
 
     ``variables`` is threaded explicitly (never closed over): baking a large
@@ -59,13 +60,13 @@ def _model_out(model_fn, variables, x, t_orig, pre_cond, cfg: SamplerConfig, cfk
     if cfg.cond_free:
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t_orig, t_orig], axis=0)
-        out = model_fn(variables, x2, t2, pre_cond, True)
+        out = model_fn(variables, x2, t2, pre_cond, True, valid_len)
         c = out.shape[-1] // 2
         eps_c, var_c = out[:b, :, :c], out[:b, :, c:]
         eps_u = out[b:, :, :c]
         eps = (1 + cfk) * eps_c - cfk * eps_u
         return eps, var_c
-    out = model_fn(variables, x, t_orig, pre_cond, False)
+    out = model_fn(variables, x, t_orig, pre_cond, False, valid_len)
     c = out.shape[-1] // 2
     return out[:, :, :c], out[:, :, c:]
 
@@ -94,7 +95,7 @@ def make_p_sample_loop(model_fn: Callable, schedule: DiffusionSchedule,
     n = schedule.num_timesteps
 
     @jax.jit
-    def loop(variables, pre_cond, noise, rng):
+    def loop(variables, pre_cond, noise, rng, valid_len=None):
         def step(carry, t):
             x, rng = carry
             rng, r = jax.random.split(rng)
@@ -102,7 +103,7 @@ def make_p_sample_loop(model_fn: Callable, schedule: DiffusionSchedule,
             cfk = cfg.cond_free_k * (1 - t / n) if cfg.ramp_conditioning_free \
                 else cfg.cond_free_k
             eps, var_values = _model_out(model_fn, variables, x, t_orig, pre_cond,
-                                         cfg, cfk)
+                                         cfg, cfk, valid_len)
             mean, logvar, _ = _p_mean_variance(tables, x, t, eps.astype(jnp.float32),
                                                var_values.astype(jnp.float32),
                                                cfg.clip_denoised)
@@ -125,7 +126,7 @@ def make_ddim_sample_loop(model_fn: Callable, schedule: DiffusionSchedule,
     n = schedule.num_timesteps
 
     @jax.jit
-    def loop(variables, pre_cond, noise, rng):
+    def loop(variables, pre_cond, noise, rng, valid_len=None):
         def step(carry, t):
             x, rng = carry
             rng, r = jax.random.split(rng)
@@ -133,7 +134,7 @@ def make_ddim_sample_loop(model_fn: Callable, schedule: DiffusionSchedule,
             cfk = cfg.cond_free_k * (1 - t / n) if cfg.ramp_conditioning_free \
                 else cfg.cond_free_k
             eps_m, var_values = _model_out(model_fn, variables, x, t_orig, pre_cond,
-                                           cfg, cfk)
+                                           cfg, cfk, valid_len)
             _, _, pred_xstart = _p_mean_variance(
                 tables, x, t, eps_m.astype(jnp.float32),
                 var_values.astype(jnp.float32), cfg.clip_denoised)

@@ -31,16 +31,50 @@ def norm_num_groups(channels: int) -> int:
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm evaluated in float32 regardless of activation dtype."""
+    """GroupNorm evaluated in float32 regardless of activation dtype.
+
+    With ``mask`` ((B, T) bool / float), statistics are computed over valid
+    positions only and the output is zeroed on padded positions — this makes
+    a right-padded run bitwise-equivalent to an unpadded run (used by the
+    bucketed diffusion decoder to amortize compilation over lengths).
+    """
     channels: int
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         orig_dtype = x.dtype
-        y = nn.GroupNorm(num_groups=norm_num_groups(self.channels), epsilon=self.eps,
-                         dtype=jnp.float32, param_dtype=jnp.float32)(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+        if mask is None:
+            y = nn.GroupNorm(num_groups=norm_num_groups(self.channels),
+                             epsilon=self.eps, dtype=jnp.float32,
+                             param_dtype=jnp.float32)(x.astype(jnp.float32))
+            return y.astype(orig_dtype)
+        groups = norm_num_groups(self.channels)
+        b, t, c = x.shape
+        m = mask.astype(jnp.float32)[:, :, None]              # (B, T, 1)
+        xf = x.astype(jnp.float32) * m
+        xg = xf.reshape(b, t, groups, c // groups)
+        count = m.sum(axis=1, keepdims=True) * (c // groups)   # (B, 1, 1)
+        mean = xg.sum(axis=(1, 3)) / count[:, 0]               # (B, G)
+        var = ((xg - mean[:, None, :, None]) ** 2 *
+               m[..., None]).sum(axis=(1, 3)) / count[:, 0]
+        xn = (xg - mean[:, None, :, None]) * jax.lax.rsqrt(var[:, None, :, None]
+                                                           + self.eps)
+        xn = xn.reshape(b, t, c)
+        scale, bias = _GNParams(self.channels, name="GroupNorm_0")()
+        return ((xn * scale + bias) * m).astype(orig_dtype)
+
+
+class _GNParams(nn.Module):
+    """Scale/bias param holder sharing the nn.GroupNorm param layout, so the
+    masked path reuses the exact same checkpoint entries."""
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.channels,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        return s, b
 
 
 def relative_position_bucket(relative_position: jnp.ndarray, num_buckets: int = 32,
@@ -100,11 +134,16 @@ class AttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, valid_mask=None):
+        """mask: reference-style post-softmax multiplier (kept for parity,
+        arch_util.py:71-74; never used by shipped configs). ``valid_mask``
+        ((B, T) bool) is this framework's right-padding mask: keys beyond it
+        are excluded pre-softmax and outputs are zeroed, making padded runs
+        equal to unpadded ones."""
         b, t, c = x.shape
         h = self.num_heads
         ch = c // h
-        y = GroupNorm32(self.channels)(x)
+        y = GroupNorm32(self.channels)(x, mask=valid_mask)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(y)
         qkv = qkv.reshape(b, t, h, 3, ch)  # per-head [q|k|v] interleave
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
@@ -116,6 +155,9 @@ class AttentionBlock(nn.Module):
                                         num_buckets=32, max_distance=64,
                                         name="rel_pos")(t, t)
             logits = logits + bias[None]
+        if valid_mask is not None:
+            logits = jnp.where(valid_mask[:, None, None, :], logits,
+                               jnp.finfo(jnp.float32).min)
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         if mask is not None:
             w = w * mask[:, None, None, :].astype(w.dtype)
@@ -123,7 +165,10 @@ class AttentionBlock(nn.Module):
         out = out.reshape(b, t, c)
         out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                        kernel_init=nn.initializers.zeros, name="proj_out")(out)
-        return x + out
+        out = x + out
+        if valid_mask is not None:
+            out = out * valid_mask[:, :, None].astype(out.dtype)
+        return out
 
 
 class ResBlock(nn.Module):

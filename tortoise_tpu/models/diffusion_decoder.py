@@ -51,18 +51,22 @@ class TimestepResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb):
+    def __call__(self, x, emb, valid_mask=None):
         out_ch = self.out_channels or self.channels
         pad = {1: 0, 3: 1, 5: 2}[self.kernel_size]
-        h = GroupNorm32(self.channels)(x)
+        h = GroupNorm32(self.channels)(x, mask=valid_mask)
         h = nn.silu(h)
         h = nn.Dense(out_ch, dtype=self.dtype, param_dtype=jnp.float32,
                      name="in_conv")(h)  # efficient 1x1 conv
         e = nn.Dense(2 * out_ch, dtype=self.dtype, param_dtype=jnp.float32,
                      name="emb_proj")(nn.silu(emb))
         scale, shift = jnp.split(e[:, None, :], 2, axis=-1)
-        h = GroupNorm32(out_ch)(h) * (1 + scale) + shift
+        h = GroupNorm32(out_ch)(h, mask=valid_mask) * (1 + scale) + shift
         h = nn.silu(h)
+        if valid_mask is not None:
+            # zero pads so the k3 conv at the boundary sees the same zeros an
+            # unpadded (zero-padded) run would
+            h = h * valid_mask[:, :, None].astype(h.dtype)
         h = nn.Conv(out_ch, (self.kernel_size,), padding=pad, dtype=self.dtype,
                     param_dtype=jnp.float32, name="out_conv")(h)
         if out_ch == self.channels:
@@ -70,7 +74,10 @@ class TimestepResBlock(nn.Module):
         else:
             skip = nn.Dense(out_ch, dtype=self.dtype, param_dtype=jnp.float32,
                             name="skip_conv")(x)
-        return skip + h
+        out = skip + h
+        if valid_mask is not None:
+            out = out * valid_mask[:, :, None].astype(out.dtype)
+        return out
 
 
 class DiffusionLayer(nn.Module):
@@ -81,12 +88,12 @@ class DiffusionLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb):
+    def __call__(self, x, emb, valid_mask=None):
         h = TimestepResBlock(self.channels, self.channels, dtype=self.dtype,
-                             name="resblk")(x, emb)
+                             name="resblk")(x, emb, valid_mask=valid_mask)
         return AttentionBlock(self.channels, self.num_heads,
                               relative_pos_embeddings=True, dtype=self.dtype,
-                              name="attn")(h)
+                              name="attn")(h, valid_mask=valid_mask)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,18 +194,61 @@ class DiffusionTts(nn.Module):
             return expanded
         return expanded, self.mel_head(expanded)
 
+    def timestep_independent_bucketed(self, latents, n_latents,
+                                      conditioning_latent, out_len,
+                                      out_bucket: int):
+        """Bucketed/masked variant of ``timestep_independent`` (latent path).
+
+        latents: (B, S_bucket, D) zero-padded; n_latents: true count (scalar);
+        out_len: true output frames (scalar); out_bucket: static padded
+        output length. The first ``out_len`` frames equal an exact-length
+        run; the rest are zero.
+        """
+        b, s_bucket, _ = latents.shape
+        lat_mask = jnp.broadcast_to(
+            (jnp.arange(s_bucket) < n_latents)[None, :], (b, s_bucket))
+        latents = latents * lat_mask[:, :, None].astype(latents.dtype)
+        code_emb = self.latent_conv(latents)
+        for blk in self.latent_attn:
+            code_emb = blk(code_emb, valid_mask=lat_mask)
+        cond_scale, cond_shift = jnp.split(conditioning_latent, 2, axis=-1)
+        code_emb = self.code_norm(code_emb, mask=lat_mask) \
+            * (1 + cond_scale[:, None]) + cond_shift[:, None]
+        code_emb = code_emb * lat_mask[:, :, None].astype(code_emb.dtype)
+        # dynamic nearest interpolation: frame i < out_len reads latent
+        # floor(i * n / out_len) — identical to F.interpolate(..., 'nearest')
+        # at the exact length
+        i = jnp.arange(out_bucket)
+        idx = jnp.clip((i * n_latents) // jnp.maximum(out_len, 1), 0, s_bucket - 1)
+        expanded = jnp.take(code_emb, idx, axis=1)
+        out_mask = (i < out_len)[None, :, None]
+        return expanded * out_mask.astype(expanded.dtype)
+
     # ------------------------------------------------------------------
     def __call__(self, x, timesteps, precomputed_aligned_embeddings=None,
                  aligned_conditioning=None, conditioning_latent=None,
-                 conditioning_free: bool = False):
+                 conditioning_free: bool = False, valid_len=None):
         """x: (B, T, 100) noisy mel; timesteps: (B,) original-scale ints.
         Returns (B, T, 200): mean and learned-range variance channels
-        (reference diffusion_decoder.py:262-322)."""
+        (reference diffusion_decoder.py:262-322).
+
+        ``valid_len`` (scalar or (B,)): treat positions >= valid_len as
+        right-padding. Masked norms/attention make the valid region exactly
+        equal to an unpadded run, so one compiled program serves a whole
+        bucket of output lengths."""
         cfg = self.config
+        valid_mask = None
+        if valid_len is not None:
+            pos = jnp.arange(x.shape[1])[None, :]
+            valid_mask = pos < jnp.reshape(jnp.asarray(valid_len), (-1, 1))
+            valid_mask = jnp.broadcast_to(valid_mask, (x.shape[0], x.shape[1]))
+            x = x * valid_mask[:, :, None].astype(x.dtype)
         if conditioning_free:
             code_emb = jnp.broadcast_to(
                 self.unconditioned_embedding.astype(self.dtype),
                 (x.shape[0], x.shape[1], cfg.model_channels))
+            if valid_mask is not None:
+                code_emb = code_emb * valid_mask[:, :, None].astype(code_emb.dtype)
         elif precomputed_aligned_embeddings is not None:
             code_emb = precomputed_aligned_embeddings
         else:
@@ -208,18 +258,20 @@ class DiffusionTts(nn.Module):
         time_emb = self.time_embed_2(nn.silu(self.time_embed_1(
             timestep_embedding(timesteps, cfg.model_channels))))
         for blk in self.cond_integrator:
-            code_emb = blk(code_emb, time_emb)
+            code_emb = blk(code_emb, time_emb, valid_mask=valid_mask)
         h = self.inp_block(x)
         h = jnp.concatenate([h, code_emb], axis=-1)
         h = self.integrating_conv(h)
         for lyr in self.layers:
             if isinstance(lyr, DiffusionLayer):
-                h = lyr(h, time_emb)
+                h = lyr(h, time_emb, valid_mask=valid_mask)
             else:
-                h = lyr(h, time_emb)
+                h = lyr(h, time_emb, valid_mask=valid_mask)
         h = h.astype(jnp.float32)
-        h = self.out_norm(h)
+        h = self.out_norm(h, mask=valid_mask)
         h = nn.silu(h)
+        if valid_mask is not None:
+            h = h * valid_mask[:, :, None].astype(h.dtype)
         return self.out_conv(h)
 
 
