@@ -127,24 +127,30 @@ class TextToSpeech:
         self.diffusion = DiffusionTts(dcfg, dtype=self.dtype)
         self.diffusion_vars, self.diffusion_source = _load(
             "diffusion_decoder",
-            lambda: init_diffusion_tts(self.diffusion, jax.random.PRNGKey(1))["params"])
+            lambda: weights_lib.host_init(
+                lambda: init_diffusion_tts(self.diffusion, jax.random.PRNGKey(1)),
+                seed=1)["params"])
 
         ccfg = clvp_config or CLVPConfig()
         self.clvp = CLVP(ccfg, dtype=self.dtype)
         self.clvp_vars, self.clvp_source = _load(
             "clvp",
-            lambda: self.clvp.init(jax.random.PRNGKey(2),
-                                   jnp.zeros((1, 4), jnp.int32),
-                                   jnp.zeros((1, 4), jnp.int32))["params"])
+            lambda: weights_lib.host_init(
+                lambda: self.clvp.init(jax.random.PRNGKey(2),
+                                       jnp.zeros((1, 4), jnp.int32),
+                                       jnp.zeros((1, 4), jnp.int32)),
+                seed=2)["params"])
         self.cvvp = None  # lazily loaded (reference api.py:234)
         self.cvvp_vars = None
 
         self.vocoder = UnivNetGenerator(UnivNetConfig(), dtype=jnp.float32)
         p, self.vocoder_source = weights_lib.get_params(
             "vocoder",
-            lambda: self.vocoder.init(jax.random.PRNGKey(3),
-                                      jnp.zeros((1, 12, 100)),
-                                      jnp.zeros((1, 12, 64)))["params"],
+            lambda: weights_lib.host_init(
+                lambda: self.vocoder.init(jax.random.PRNGKey(3),
+                                          jnp.zeros((1, 12, 100)),
+                                          jnp.zeros((1, 12, 64))),
+                seed=3)["params"],
             models_dir, allow_random=allow_random_weights)
         self.vocoder_vars = jax.device_put({"params": p})
 
@@ -212,9 +218,11 @@ class TextToSpeech:
         self.cvvp = CVVP(CVVPConfig(), dtype=self.dtype)
         p, _ = weights_lib.get_params(
             "cvvp",
-            lambda: self.cvvp.init(jax.random.PRNGKey(4),
-                                   jnp.zeros((1, 16, 80)),
-                                   jnp.zeros((1, 8), jnp.int32))["params"],
+            lambda: weights_lib.host_init(
+                lambda: self.cvvp.init(jax.random.PRNGKey(4),
+                                       jnp.zeros((1, 16, 80)),
+                                       jnp.zeros((1, 8), jnp.int32)),
+                seed=4)["params"],
             self._models_dir, allow_random=self._allow_random)
         self.cvvp_vars = {"params": p}
 
@@ -331,6 +339,7 @@ class TextToSpeech:
             verbose=True, use_deterministic_seed=None, return_deterministic_state=False,
             num_autoregressive_samples=512, temperature=0.8, length_penalty=1.0,
             repetition_penalty=2.0, top_p=0.8, max_mel_tokens=500,
+            typical_sampling=False, typical_mass=0.9,
             cvvp_amount=0.0, diffusion_iterations=100, cond_free=True,
             cond_free_k=2.0, diffusion_temperature=1.0, **unused_hf_kwargs):
         """Full quality pipeline (reference api.py:334-597). Returns a float32
@@ -363,6 +372,7 @@ class TextToSpeech:
             print("Generating autoregressive samples..")
         settings = SamplerSettings(temperature=temperature, top_k=50, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
+                                   typical_mass=typical_mass if typical_sampling else None,
                                    max_generate=max_mel_tokens)
         num_batches = max(1, num_autoregressive_samples // self.autoregressive_batch_size)
         bs = min(num_autoregressive_samples, self.autoregressive_batch_size)

@@ -93,9 +93,11 @@ class TextToSpeechFast:
         self.hifi_decoder = HifiganGenerator(hifi_cfg, dtype=jnp.float32)
         self.hifi_vars, self.hifi_source = weights_lib.get_params(
             "hifidecoder",
-            lambda: self.hifi_decoder.init(
-                jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.model_dim)),
-                jnp.zeros((1, cfg.model_dim)))["params"],
+            lambda: weights_lib.host_init(
+                lambda: self.hifi_decoder.init(
+                    jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.model_dim)),
+                    jnp.zeros((1, cfg.model_dim))),
+                seed=1)["params"],
             models_dir, allow_random=allow_random_weights)
         self.hifi_vars = jax.device_put({"params": self.hifi_vars})
 

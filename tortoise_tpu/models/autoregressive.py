@@ -237,7 +237,7 @@ def init_unified_voice(model: UnifiedVoice, rng, host_side: bool | None = None) 
             return np.ones(shape, dtype)
         if name == "embedding":
             return normal(0.02, shape, dtype)
-        fan_in = shape[0] if len(shape) >= 2 else max(shape[-1], 1)
+        fan_in = int(np.prod(shape[:-1])) if len(shape) >= 2 else max(shape[-1], 1)
         return normal(1.0 / np.sqrt(fan_in), shape, dtype)
 
     return jax.tree_util.tree_map_with_path(fill, shapes)

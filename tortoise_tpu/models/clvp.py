@@ -66,12 +66,14 @@ class CLVP(nn.Module):
         lat = self.to_speech_latent(masked_mean(enc, mask))
         return lat / jnp.linalg.norm(lat.astype(jnp.float32), axis=-1, keepdims=True)
 
-    def __call__(self, text, speech_tokens, return_loss: bool = False):
+    def __call__(self, text, speech_tokens, return_loss: bool = False,
+                 text_mask=None, voice_mask=None):
         """text: (B, Tt) int; speech_tokens: (B, Ts) int.
         Inference: per-pair cosine similarity x exp(temperature) (B,)
-        (reference clvp.py:99-140)."""
-        tl = self.text_latents(text)
-        sl = self.speech_latents(speech_tokens)
+        (reference clvp.py:99-140). Training passes random token-dropout
+        masks (the reference's text/voice_mask_percentage, clvp.py:106-108)."""
+        tl = self.text_latents(text, mask=text_mask)
+        sl = self.speech_latents(speech_tokens, mask=voice_mask)
         temp = jnp.exp(self.temperature)
         if not return_loss:
             return jnp.einsum("nd,nd->n", tl, sl) * temp

@@ -124,18 +124,26 @@ class GPT2Block(nn.Module):
 
 class GPT2Stack(nn.Module):
     """N transformer blocks + final ln_f. Call with embeddings (positions are
-    the caller's responsibility, mirroring the reference's nulled wpe)."""
+    the caller's responsibility, mirroring the reference's nulled wpe).
+
+    ``remat=True`` rematerializes each block in the backward pass — the
+    training-time equivalent of the reference's gradient checkpointing
+    (build_hf_gpt_transformer's ``checkpointing`` flag,
+    reference autoregressive.py:246-258)."""
     config: GPT2Config
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, emb, *, cache=None, cache_index=None):
         cfg = self.config
         x = emb.astype(self.dtype)
         new_cache = []
+        block_cls = nn.remat(GPT2Block, static_argnums=()) if \
+            (self.remat and cache is None) else GPT2Block
         for i in range(cfg.n_layer):
             layer_cache = None if cache is None else jax.tree.map(lambda a: a[i], cache)
-            x, lc = GPT2Block(cfg, dtype=self.dtype, name=f"h_{i}")(
+            x, lc = block_cls(cfg, dtype=self.dtype, name=f"h_{i}")(
                 x, layer_cache=layer_cache, cache_index=cache_index)
             if lc is not None:
                 new_cache.append(lc)

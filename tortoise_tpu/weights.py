@@ -126,3 +126,34 @@ def cast_for_inference(params: dict, dtype) -> dict:
         return jnp.asarray(leaf, dtype)
 
     return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def host_init(shape_fn, seed: int = 0) -> dict:
+    """Initialize a param tree host-side: trace shapes with jax.eval_shape and
+    fill with numpy randoms (zeros/ones for biases/scales). Avoids compiling
+    and running large on-device init programs — on a remote TPU those cost
+    minutes per model."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(shape_fn)
+    gen = np.random.Generator(np.random.SFC64(seed))
+
+    def fill(path, sd):
+        name = getattr(path[-1], "key", str(path[-1]))
+        shape, dtype = sd.shape, sd.dtype
+        if name in ("bias", "b"):
+            return np.zeros(shape, dtype)
+        if name in ("scale", "g"):
+            return np.ones(shape, dtype)
+        if name in ("embedding", "unconditioned_embedding", "temperature", "weight"):
+            std = 0.02 if name == "embedding" else 1.0
+            if name == "temperature":
+                return np.ones(shape, dtype)
+            return (gen.standard_normal(shape, dtype=np.float32) * std).astype(dtype)
+        fan_in = int(np.prod(shape[:-1])) if len(shape) >= 2 else \
+            max(shape[-1] if shape else 1, 1)
+        return (gen.standard_normal(shape, dtype=np.float32)
+                / np.sqrt(fan_in)).astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
