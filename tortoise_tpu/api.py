@@ -92,7 +92,7 @@ class TextToSpeech:
         # kv_cache/half/device kept for reference API compatibility; the TPU
         # build always uses a KV cache and bf16 compute when half=True.
         del kv_cache, device
-        self.autoregressive_batch_size = autoregressive_batch_size or 16
+        self.autoregressive_batch_size = autoregressive_batch_size or 32
         self.dtype = jnp.bfloat16 if half else jnp.float32
         self.enable_redaction = enable_redaction
         self.aligner = None

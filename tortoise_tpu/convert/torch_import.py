@@ -97,11 +97,12 @@ def conditioning_encoder_params(sd, prefix: str, attn_blocks: int = 6) -> dict:
 
 def gpt2_stack_params(sd, prefix: str, n_layer: int) -> dict:
     """HF GPT2Model -> gpt2.GPT2Stack params. HF Conv1D weights are already
-    (in, out), so they map straight onto flax Dense kernels."""
-    p = {}
-    for i in range(n_layer):
+    (in, out), so they map straight onto flax Dense kernels. Per-layer
+    weights are stacked along a leading layer axis for the scan-over-layers
+    stack (param path {"h_scan": {"block": ...}})."""
+    def layer(i):
         hp = f"{prefix}.h.{i}"
-        p[f"h_{i}"] = {
+        return {
             "ln_1": _layernorm(sd, f"{hp}.ln_1"),
             "ln_2": _layernorm(sd, f"{hp}.ln_2"),
             "attn": {
@@ -115,8 +116,11 @@ def gpt2_stack_params(sd, prefix: str, n_layer: int) -> dict:
             "mlp_proj": {"kernel": t2n(sd[f"{hp}.mlp.c_proj.weight"]),
                          "bias": t2n(sd[f"{hp}.mlp.c_proj.bias"])},
         }
-    p["ln_f"] = _layernorm(sd, f"{prefix}.ln_f")
-    return p
+
+    import jax
+
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *[layer(i) for i in range(n_layer)])
+    return {"h_scan": {"block": stacked}, "ln_f": _layernorm(sd, f"{prefix}.ln_f")}
 
 
 def unified_voice_params(sd, layers: int = 30) -> dict:
@@ -197,29 +201,34 @@ def xtransformer_encoder_params(sd, prefix: str, depth: int, wrapped: bool = Tru
     Layer list alternates [attn, ff] per depth; norms live at .0.0 (RMSNorm
     'g'), the branch module at .1.
     """
+    import jax
+
     mid = ".wrap" if wrapped else ""
-    p = {}
-    for d in range(depth):
+
+    def layer(d):
         ia, iff = 2 * d, 2 * d + 1
-        p[f"attn_norm_{d}"] = {"g": t2n(sd[f"{prefix}.attn_layers.layers.{ia}.0.0.g"])}
         ap = f"{prefix}.attn_layers.layers.{ia}.1{mid}"
-        p[f"attn_{d}"] = {
-            "to_q": {"kernel": dense_kernel(sd[f"{ap}.to_q.weight"])},
-            "to_k": {"kernel": dense_kernel(sd[f"{ap}.to_k.weight"])},
-            "to_v": {"kernel": dense_kernel(sd[f"{ap}.to_v.weight"])},
-            "to_out": {"kernel": dense_kernel(sd[f"{ap}.to_out.weight"]),
-                       "bias": t2n(sd[f"{ap}.to_out.bias"])},
-        }
-        p[f"ff_norm_{d}"] = {"g": t2n(sd[f"{prefix}.attn_layers.layers.{iff}.0.0.g"])}
         fp = f"{prefix}.attn_layers.layers.{iff}.1{mid}"
-        p[f"ff_{d}"] = {
-            "proj": {"kernel": dense_kernel(sd[f"{fp}.net.0.proj.weight"]),
-                     "bias": t2n(sd[f"{fp}.net.0.proj.bias"])},
-            "out": {"kernel": dense_kernel(sd[f"{fp}.net.3.weight"]),
-                    "bias": t2n(sd[f"{fp}.net.3.bias"])},
+        return {
+            "attn_norm": {"g": t2n(sd[f"{prefix}.attn_layers.layers.{ia}.0.0.g"])},
+            "attn": {
+                "to_q": {"kernel": dense_kernel(sd[f"{ap}.to_q.weight"])},
+                "to_k": {"kernel": dense_kernel(sd[f"{ap}.to_k.weight"])},
+                "to_v": {"kernel": dense_kernel(sd[f"{ap}.to_v.weight"])},
+                "to_out": {"kernel": dense_kernel(sd[f"{ap}.to_out.weight"]),
+                           "bias": t2n(sd[f"{ap}.to_out.bias"])},
+            },
+            "ff_norm": {"g": t2n(sd[f"{prefix}.attn_layers.layers.{iff}.0.0.g"])},
+            "ff": {
+                "proj": {"kernel": dense_kernel(sd[f"{fp}.net.0.proj.weight"]),
+                         "bias": t2n(sd[f"{fp}.net.0.proj.bias"])},
+                "out": {"kernel": dense_kernel(sd[f"{fp}.net.3.weight"]),
+                        "bias": t2n(sd[f"{fp}.net.3.bias"])},
+            },
         }
-    p["final_norm"] = _layernorm(sd, f"{prefix}.norm")
-    return p
+
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *[layer(d) for d in range(depth)])
+    return {"layers_scan": stacked, "final_norm": _layernorm(sd, f"{prefix}.norm")}
 
 
 def clvp_params(sd) -> dict:
@@ -332,14 +341,16 @@ def diffusion_tts_params(sd, num_layers: int = 10) -> dict:
         p[f"latent_attn_{i}"] = attention_block_params(sd, f"latent_conditioner.{i + 1}")
     for i in range(5):
         p[f"ctx_attn_{i}"] = attention_block_params(sd, f"contextual_embedder.{i + 2}")
+    import jax
+
+    stack = lambda trees: jax.tree.map(lambda *xs: np.stack(xs), *trees)
+    p["cond_scan"] = {"layer": stack([
+        _diffusion_layer_params(sd, f"conditioning_timestep_integrator.{i}")
+        for i in range(3)])}
+    p["layers_scan"] = {"layer": stack([
+        _diffusion_layer_params(sd, f"layers.{i}") for i in range(num_layers)])}
     for i in range(3):
-        p[f"cond_integrator_{i}"] = _diffusion_layer_params(
-            sd, f"conditioning_timestep_integrator.{i}")
-    for i in range(num_layers):
-        p[f"layers_{i}"] = _diffusion_layer_params(sd, f"layers.{i}")
-    for i in range(3):
-        p[f"layers_{num_layers + i}"] = _timestep_resblock_params(
-            sd, f"layers.{num_layers + i}")
+        p[f"tail_{i}"] = _timestep_resblock_params(sd, f"layers.{num_layers + i}")
     return p
 
 

@@ -153,14 +153,41 @@ def _make_prompt(model, variables, cond_latent, text_tokens, num_samples,
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtype):
-    """Fused prefill + full-length scan (the batch-candidates path)."""
+    """Fused prefill + early-exit decode loop (the batch-candidates path).
+
+    A ``while_loop`` stops as soon as every candidate has latched its stop
+    token — real sentences finish well before ``max_generate``, which makes
+    this the dominant AR saving in the quality path. Output buffers are
+    pre-filled with the stop token (codes) and zeros (latents beyond each
+    candidate's stop are never read)."""
+    cfg = model.config
+    b = prompt.shape[0]
+    d = cfg.model_dim
+    max_gen = settings.max_generate
     carry, tok0, latent0 = _prefill.__wrapped__(model, variables, prompt, rng,
                                                 settings, cache_dtype)
-    carry, toks, latents = _segment.__wrapped__(model, variables, carry, settings,
-                                                settings.max_generate - 1)
-    codes = jnp.concatenate([tok0[:, None], toks], axis=1)
-    lat = jnp.concatenate([latent0[:, None], latents], axis=1)
-    return codes, lat
+    toks_buf = jnp.full((b, max_gen), cfg.stop_mel_token, jnp.int32)
+    toks_buf = toks_buf.at[:, 0].set(tok0)
+    lats_buf = jnp.zeros((b, max_gen, d), jnp.float32).at[:, 0].set(latent0)
+
+    def cond(state):
+        carry, _, _ = state
+        finished = carry[3]
+        s = carry[5]
+        return (s < max_gen - 1) & ~finished.all()
+
+    def body(state):
+        carry, toks_buf, lats_buf = state
+        carry, (tok, lat) = _step(model, variables, settings, carry, None)
+        s = carry[5]  # tok sits at sequence index s (post-increment)
+        toks_buf = jax.lax.dynamic_update_slice(toks_buf, tok[:, None], (0, s))
+        lats_buf = jax.lax.dynamic_update_slice(
+            lats_buf, lat[:, None].astype(lats_buf.dtype), (0, s, 0))
+        return carry, toks_buf, lats_buf
+
+    _, toks_buf, lats_buf = jax.lax.while_loop(cond, body,
+                                               (carry, toks_buf, lats_buf))
+    return toks_buf, lats_buf
 
 
 def stream_speech(model: UnifiedVoice, variables: dict, cond_latent, text_tokens,

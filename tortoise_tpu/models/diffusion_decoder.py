@@ -96,6 +96,27 @@ class DiffusionLayer(nn.Module):
                               name="attn")(h, valid_mask=valid_mask)
 
 
+class _DiffLayerScanBody(nn.Module):
+    """Scan body for the identical DiffusionLayer stack (weight-stacked)."""
+    channels: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, time_emb, valid_mask):
+        h = DiffusionLayer(self.channels, self.num_heads, dtype=self.dtype,
+                           name="layer")(h, time_emb, valid_mask=valid_mask)
+        return h, None
+
+
+def _scanned_diff_layers(channels, num_heads, dtype, length, name):
+    return nn.scan(_DiffLayerScanBody,
+                   variable_axes={"params": 0},
+                   split_rngs={"params": True},
+                   in_axes=(nn.broadcast, nn.broadcast), out_axes=0,
+                   length=length)(channels, num_heads, dtype=dtype, name=name)
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionTtsConfig:
     model_channels: int = 1024
@@ -141,15 +162,15 @@ class DiffusionTts(nn.Module):
         self.unconditioned_embedding = self.param(
             "unconditioned_embedding", nn.initializers.normal(1.0), (1, 1, ch),
             jnp.float32)
-        self.cond_integrator = [
-            DiffusionLayer(ch, cfg.num_heads, dtype=self.dtype) for _ in range(3)]
+        self.cond_scan = _scanned_diff_layers(ch, cfg.num_heads, self.dtype, 3,
+                                              "cond_scan")
         self.integrating_conv = nn.Dense(ch, dtype=self.dtype, param_dtype=jnp.float32)
         self.mel_head = nn.Conv(cfg.in_channels, (3,), padding=1, dtype=self.dtype,
                                 param_dtype=jnp.float32)
 
-        self.layers = [DiffusionLayer(ch, cfg.num_heads, dtype=self.dtype)
-                       for _ in range(cfg.num_layers)] + [
-            TimestepResBlock(ch, ch, dtype=self.dtype) for _ in range(3)]
+        self.layers_scan = _scanned_diff_layers(ch, cfg.num_heads, self.dtype,
+                                                cfg.num_layers, "layers_scan")
+        self.tail = [TimestepResBlock(ch, ch, dtype=self.dtype) for _ in range(3)]
 
         self.out_norm = GroupNorm32(ch)
         self.out_conv = nn.Conv(cfg.out_channels, (3,), padding=1,
@@ -257,16 +278,13 @@ class DiffusionTts(nn.Module):
 
         time_emb = self.time_embed_2(nn.silu(self.time_embed_1(
             timestep_embedding(timesteps, cfg.model_channels))))
-        for blk in self.cond_integrator:
-            code_emb = blk(code_emb, time_emb, valid_mask=valid_mask)
+        code_emb, _ = self.cond_scan(code_emb, time_emb, valid_mask)
         h = self.inp_block(x)
         h = jnp.concatenate([h, code_emb], axis=-1)
         h = self.integrating_conv(h)
-        for lyr in self.layers:
-            if isinstance(lyr, DiffusionLayer):
-                h = lyr(h, time_emb, valid_mask=valid_mask)
-            else:
-                h = lyr(h, time_emb, valid_mask=valid_mask)
+        h, _ = self.layers_scan(h, time_emb, valid_mask)
+        for lyr in self.tail:
+            h = lyr(h, time_emb, valid_mask=valid_mask)
         h = h.astype(jnp.float32)
         h = self.out_norm(h, mask=valid_mask)
         h = nn.silu(h)

@@ -101,10 +101,32 @@ class GEGLUFeedForward(nn.Module):
                         name="out")(h)
 
 
+class _EncoderLayerScanBody(nn.Module):
+    """One pre-norm attn+ff layer as a scan body (weight-stacked depth)."""
+    dim: int
+    heads: int
+    ff_mult: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = RMSNorm(self.dim, name="attn_norm")(x)
+        x = x + EncoderAttention(self.dim, self.heads, dtype=self.dtype,
+                                 name="attn")(h, mask=mask)
+        h = RMSNorm(self.dim, name="ff_norm")(x)
+        x = x + GEGLUFeedForward(self.dim, self.ff_mult, dtype=self.dtype,
+                                 name="ff")(h)
+        return x, None
+
+
 class XTransformerEncoder(nn.Module):
     """Pre-norm encoder + final LayerNorm, matching
     CheckpointedXTransformerEncoder(ContinuousTransformerWrapper(Encoder(...)))
-    with use_rmsnorm, ff_glu, rotary_pos_emb (reference clvp.py:54-88)."""
+    with use_rmsnorm, ff_glu, rotary_pos_emb (reference clvp.py:54-88).
+
+    Depth is weight-stacked and driven by nn.scan, shrinking the HLO
+    depth-fold (CLVP is 20+20 layers; compiles matter on a remote TPU).
+    Param layout: {"layers_scan": {attn_norm, attn, ff_norm, ff}} stacked."""
     dim: int
     depth: int
     heads: int
@@ -113,12 +135,12 @@ class XTransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        for i in range(self.depth):
-            h = RMSNorm(self.dim, name=f"attn_norm_{i}")(x)
-            x = x + EncoderAttention(self.dim, self.heads, dtype=self.dtype,
-                                     name=f"attn_{i}")(h, mask=mask)
-            h = RMSNorm(self.dim, name=f"ff_norm_{i}")(x)
-            x = x + GEGLUFeedForward(self.dim, self.ff_mult, dtype=self.dtype,
-                                     name=f"ff_{i}")(h)
+        scan = nn.scan(_EncoderLayerScanBody,
+                       variable_axes={"params": 0},
+                       split_rngs={"params": True},
+                       in_axes=(nn.broadcast,), out_axes=0,
+                       length=self.depth)
+        x, _ = scan(self.dim, self.heads, self.ff_mult, dtype=self.dtype,
+                    name="layers_scan")(x, mask)
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                             name="final_norm")(x.astype(jnp.float32)).astype(x.dtype)

@@ -17,11 +17,13 @@ def unified_voice_pspec(path: tuple[str, ...], leaf) -> P:
     keys = [getattr(p, "key", str(p)) for p in path]
     name = "/".join(keys)
     if "gpt" in keys:
+        # scanned-stack layout: kernels are (L, in, out)
+        stacked = "h_scan" in keys
         if keys[-1] == "kernel":
             if any(k in keys for k in ("c_attn", "mlp_fc")):
-                return P(None, "tp")      # column parallel
+                return P(None, None, "tp") if stacked else P(None, "tp")
             if any(k in keys for k in ("c_proj", "mlp_proj")):
-                return P("tp", None)      # row parallel
+                return P(None, "tp", None) if stacked else P("tp", None)
         return P()
     if keys[-1] == "embedding" and keys[0] in ("text_embedding", "mel_embedding"):
         return P(None, None)
