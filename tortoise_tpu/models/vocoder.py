@@ -96,6 +96,7 @@ class LVCBlock(nn.Module):
     conv_kernel_size: int = 3
     cond_hop_length: int = 256
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, c):
@@ -121,8 +122,15 @@ class LVCBlock(nn.Module):
                           dtype=self.dtype, param_dtype=jnp.float32,
                           name=f"conv_{i}")(out)
             out = nn.leaky_relu(out, LRELU_SLOPE)
-            out = location_variable_convolution(out, kernels[:, i], bias[:, i],
-                                                self.cond_hop_length)
+            if self.use_pallas:
+                from tortoise_tpu.ops.lvc_pallas import \
+                    location_variable_convolution_pallas
+
+                out = location_variable_convolution_pallas(
+                    out, kernels[:, i], bias[:, i], self.cond_hop_length)
+            else:
+                out = location_variable_convolution(out, kernels[:, i], bias[:, i],
+                                                    self.cond_hop_length)
             x = x + jnp.asarray(nn.sigmoid(out[..., :self.in_channels])) * \
                 jnp.tanh(out[..., self.in_channels:])
         return x
@@ -137,6 +145,7 @@ class UnivNetConfig:
     kpnet_conv_size: int = 3
     hop_length: int = 256
     n_mel_channels: int = 100
+    use_pallas: bool = False
 
 
 def _reflect_pad_conv(x, features, name, dtype):
@@ -159,7 +168,8 @@ class UnivNetGenerator(nn.Module):
             hop *= s
             x = LVCBlock(cfg.channel_size, s, cfg.dilations,
                          cond_hop_length=hop, conv_kernel_size=3,
-                         dtype=self.dtype, name=f"lvc_{i}")(x, c)
+                         dtype=self.dtype, use_pallas=cfg.use_pallas,
+                         name=f"lvc_{i}")(x, c)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         x = _reflect_pad_conv(x, 1, "conv_post", self.dtype)
         return jnp.tanh(x)
