@@ -64,3 +64,26 @@ def test_handle_chunks_crossfade_reference_semantics():
     # first 1024 samples crossfade 1 -> 2
     assert c2[0] == pytest.approx(1.0, abs=1e-2)
     assert c2[1023] == pytest.approx(2.0, abs=1e-2)
+
+
+def test_tts_batch_serving(tts):
+    import jax
+
+    from tortoise_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    texts = [f"Utterance number {i} for batched serving." for i in range(8)]
+    wavs = tts.tts_batch(texts, use_deterministic_seed=4, max_mel_tokens=32,
+                         text_bucket=16, verbose=False)
+    assert len(wavs) == 8
+    for w in wavs:
+        assert w.ndim == 3 and np.isfinite(w).all()
+
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh(dp=8, tp=1)
+        with mesh:
+            wavs_sharded = tts.tts_batch(texts, use_deterministic_seed=4,
+                                         max_mel_tokens=32, text_bucket=16,
+                                         verbose=False,
+                                         batch_sharding=batch_sharding(mesh))
+        for a, b in zip(wavs, wavs_sharded):
+            np.testing.assert_array_equal(a, b)

@@ -344,6 +344,9 @@ class TextToSpeech:
             cond_free_k=2.0, diffusion_temperature=1.0, **unused_hf_kwargs):
         """Full quality pipeline (reference api.py:334-597). Returns a float32
         (1, 1, S) wav at 24 kHz, or a list of k wavs."""
+        from tortoise_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer(enabled=True)
         det_seed = deterministic_state(use_deterministic_seed)
         rng = jax.random.PRNGKey(det_seed)
 
@@ -377,13 +380,14 @@ class TextToSpeech:
         num_batches = max(1, num_autoregressive_samples // self.autoregressive_batch_size)
         bs = min(num_autoregressive_samples, self.autoregressive_batch_size)
         samples = []
-        for _ in range(num_batches):
-            rng, r = jax.random.split(rng)
-            codes, _ = sample_speech(self.autoregressive, self.ar_vars,
-                                     jnp.asarray(auto_conditioning),
-                                     jnp.asarray(text_tokens), r, num_samples=bs,
-                                     settings=settings)
-            samples.append(np.asarray(codes))
+        with timer.stage("autoregressive"):
+            for _ in range(num_batches):
+                rng, r = jax.random.split(rng)
+                codes, _ = sample_speech(self.autoregressive, self.ar_vars,
+                                         jnp.asarray(auto_conditioning),
+                                         jnp.asarray(text_tokens), r, num_samples=bs,
+                                         settings=settings)
+                samples.append(np.asarray(codes))
         samples = np.concatenate(samples, axis=0)  # (N, max_mel_tokens)
 
         # 2) stop-token repair + CLVP/CVVP re-ranking ---------------------
@@ -394,8 +398,9 @@ class TextToSpeech:
         fixed = np.stack([fix_autoregressive_output(s, stop_token, complain=verbose)
                           for s in samples])
         if cvvp_amount != 1:
-            clvp_scores = np.asarray(self._clvp_scores(jnp.asarray(text_tokens),
-                                                       jnp.asarray(fixed)))
+            with timer.stage("clvp_rerank"):
+                clvp_scores = np.asarray(self._clvp_scores(jnp.asarray(text_tokens),
+                                                           jnp.asarray(fixed)))
         if auto_conds is not None and cvvp_amount > 0:
             if self.cvvp is None:
                 self.load_cvvp()
@@ -412,10 +417,11 @@ class TextToSpeech:
         best_results = fixed[best_idx]  # (k, max_mel_tokens)
 
         # 3) latent re-extraction for the winners -------------------------
-        best_latents = np.asarray(self._relatent(
-            jnp.asarray(np.repeat(auto_conditioning, k, axis=0)),
-            jnp.asarray(np.repeat(text_tokens, k, axis=0)),
-            jnp.asarray(best_results)))
+        with timer.stage("latent_reextraction"):
+            best_latents = np.asarray(self._relatent(
+                jnp.asarray(np.repeat(auto_conditioning, k, axis=0)),
+                jnp.asarray(np.repeat(text_tokens, k, axis=0)),
+                jnp.asarray(best_results)))
 
         # 4) per-candidate diffusion + vocoding ---------------------------
         if verbose:
@@ -426,14 +432,18 @@ class TextToSpeech:
             n = calm_token_trim_length(codes_b)
             latents = best_latents[b:b + 1, :n].astype(np.float32)
             rng, r1, r2 = jax.random.split(rng, 3)
-            mel = self.do_spectrogram_diffusion(
-                latents, diffusion_conditioning,
-                diffusion_iterations=diffusion_iterations, cond_free=cond_free,
-                cond_free_k=cond_free_k, temperature=diffusion_temperature, rng=r1)
-            mel_btc = jnp.swapaxes(mel, 1, 2)  # (1, F, 100)
-            z = jax.random.normal(r2, (1, mel_btc.shape[1] + 10,
-                                       self.vocoder.config.noise_dim))
-            wav = np.asarray(self._vocode(mel_btc, z))  # (1, S, 1)
+            with timer.stage("diffusion"):
+                mel = self.do_spectrogram_diffusion(
+                    latents, diffusion_conditioning,
+                    diffusion_iterations=diffusion_iterations, cond_free=cond_free,
+                    cond_free_k=cond_free_k, temperature=diffusion_temperature,
+                    rng=r1)
+                mel.block_until_ready()
+            with timer.stage("vocoder"):
+                mel_btc = jnp.swapaxes(mel, 1, 2)  # (1, F, 100)
+                z = jax.random.normal(r2, (1, mel_btc.shape[1] + 10,
+                                           self.vocoder.config.noise_dim))
+                wav = np.asarray(self._vocode(mel_btc, z))  # (1, S, 1)
             wav_candidates.append(wav[:, :, 0][:, None, :])
 
         def potentially_redact(clip, text):
@@ -442,6 +452,9 @@ class TextToSpeech:
             return clip
 
         wav_candidates = [potentially_redact(w, text) for w in wav_candidates]
+        if verbose:
+            timer.report(print_it=True)
+        self.last_stage_timings = timer.report()
         res = wav_candidates if len(wav_candidates) > 1 else wav_candidates[0]
         if return_deterministic_state:
             return res, (det_seed, text, voice_samples, conditioning_latents)

@@ -217,6 +217,64 @@ class TextToSpeechFast:
         return wav
 
     # ------------------------------------------------------------------
+    def tts_batch(self, texts, conditioning_latents=None, verbose=True,
+                  use_deterministic_seed=None, temperature=0.8,
+                  repetition_penalty=2.0, top_p=0.8, top_k=50,
+                  max_mel_tokens=500, text_bucket: int = 64,
+                  batch_sharding=None, **unused_kwargs) -> list[np.ndarray]:
+        """Batched serving: synthesize N utterances in ONE set of compiled
+        programs (BASELINE config 5 — concurrent utterances; shard the batch
+        over a mesh's dp axis with ``batch_sharding``).
+
+        texts: list of N strings. conditioning_latents: (N, D) / (1, D) / None
+        (random voice). Texts pad to ``text_bucket`` multiples with the stop
+        token (in-distribution — training used stop-token padding too).
+        Returns a list of N float32 (1, 1, S_i) wavs.
+        """
+        det_seed = deterministic_state(use_deterministic_seed)
+        n = len(texts)
+        ids = [self.tokenizer.encode(t) for t in texts]
+        max_len = max(len(i) for i in ids) + 1  # api-level pad
+        tb = -(-max_len // text_bucket) * text_bucket if text_bucket else max_len
+        assert tb < 400, "Too much text provided in at least one utterance."
+        toks = np.zeros((n, tb), np.int32)
+        for r, seq in enumerate(ids):
+            toks[r, :len(seq)] = seq
+
+        if conditioning_latents is None:
+            cond = np.repeat(self.get_random_conditioning_latents(det_seed), n, 0)
+        else:
+            cond = np.asarray(conditioning_latents)
+            if cond.ndim == 1:
+                cond = cond[None]
+            if cond.shape[0] == 1:
+                cond = np.repeat(cond, n, 0)
+
+        settings = SamplerSettings(temperature=temperature, top_k=top_k,
+                                   top_p=top_p,
+                                   repetition_penalty=repetition_penalty,
+                                   max_generate=max_mel_tokens)
+        codes, _ = sample_speech(self.autoregressive, self.ar_vars,
+                                 jnp.asarray(cond), jnp.asarray(toks),
+                                 jax.random.PRNGKey(det_seed), num_samples=n,
+                                 settings=settings, batch_sharding=batch_sharding)
+        latents = np.asarray(self._relatent(jnp.asarray(cond), jnp.asarray(toks),
+                                            codes)).astype(np.float32)
+        codes = np.asarray(codes)
+
+        wavs = []
+        for r in range(n):
+            nat = self._trim_codes(codes[r])
+            lat = latents[r:r + 1, :nat]
+            nb = -(-nat // self.latent_bucket) * self.latent_bucket \
+                if self.latent_bucket else nat
+            padded = np.pad(lat, ((0, 0), (0, nb - nat), (0, 0)))
+            wav = np.asarray(self._decode_wav(jnp.asarray(padded),
+                                              jnp.asarray(cond[r:r + 1])))
+            wavs.append(wav[:, :_expected_samples(nat), 0][:, None, :])
+        return wavs
+
+    # ------------------------------------------------------------------
     def tts_stream(self, text, voice_samples=None, conditioning_latents=None,
                    verbose=True, use_deterministic_seed=None, stream_chunk_size=40,
                    overlap_wav_len=1024, temperature=0.8, repetition_penalty=2.0,
