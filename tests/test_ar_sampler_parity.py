@@ -137,3 +137,31 @@ def test_sampling_respects_stop_latching(models):
         stops = np.where(row == 8193)[0]
         if len(stops):
             assert (row[stops[0]:] == 8193).all()
+
+
+def test_fused_sampler_distribution_matches_chain():
+    """sample_topk_topp must match the process_logits+categorical chain in
+    distribution (not bitwise — RNG consumption differs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tortoise_tpu.ops import sampling
+
+    rng = np.random.default_rng(0)
+    vocab = 16
+    logits = jnp.asarray(rng.standard_normal((1, vocab)) * 2, jnp.float32)
+    seen = jnp.zeros((1, vocab), bool).at[0, 3].set(True)
+    kw = dict(repetition_penalty=2.0, temperature=0.8, top_k=4, top_p=0.7)
+
+    n = 20000
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    fused = jax.vmap(lambda k: sampling.sample_topk_topp(k, logits, seen, **kw)[0])(keys)
+    warped = sampling.process_logits(logits, seen, typical_mass=None, **kw)
+    ref = jax.vmap(lambda k: jax.random.categorical(k, warped, axis=-1)[0])(
+        jax.random.split(jax.random.PRNGKey(2), n))
+
+    f_counts = np.bincount(np.asarray(fused), minlength=vocab) / n
+    r_counts = np.bincount(np.asarray(ref), minlength=vocab) / n
+    # same support
+    np.testing.assert_array_equal(f_counts > 0, r_counts > 0)
+    np.testing.assert_allclose(f_counts, r_counts, atol=0.015)

@@ -85,13 +85,14 @@ class TextToSpeech:
     def __init__(self, autoregressive_batch_size=None, models_dir=None,
                  enable_redaction=False, kv_cache=True, half=True, device=None,
                  tokenizer_vocab_file=None, tokenizer_basic=False,
-                 allow_random_weights=True,
+                 allow_random_weights=True, text_bucket: int = 32,
                  ar_config: UnifiedVoiceConfig | None = None,
                  diffusion_config: DiffusionTtsConfig | None = None,
                  clvp_config: CLVPConfig | None = None):
         # kv_cache/half/device kept for reference API compatibility; the TPU
         # build always uses a KV cache and bf16 compute when half=True.
         del kv_cache, device
+        self.text_bucket = text_bucket
         self.autoregressive_batch_size = autoregressive_batch_size or 32
         self.dtype = jnp.bfloat16 if half else jnp.float32
         self.enable_redaction = enable_redaction
@@ -355,6 +356,11 @@ class TextToSpeech:
         assert text_tokens.shape[-1] < 400, (
             "Too much text provided. Break the text up into separate segments "
             "and re-try inference.")
+        if self.text_bucket:
+            # one compiled prefill/decode per text-length bucket (stop-token
+            # padding is in-distribution; set text_bucket=0 for exact prompts)
+            tb = -(-text_tokens.shape[1] // self.text_bucket) * self.text_bucket
+            text_tokens = np.pad(text_tokens, ((0, 0), (0, tb - text_tokens.shape[1])))
 
         auto_conds = None
         if voice_samples is not None:
@@ -373,6 +379,7 @@ class TextToSpeech:
         # 1) AR candidate sampling — batched compiled scan ----------------
         if verbose:
             print("Generating autoregressive samples..")
+        max_mel_tokens = min(max_mel_tokens, self.ar_cfg.mel_pos_len - 3)
         settings = SamplerSettings(temperature=temperature, top_k=50, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
                                    typical_mass=typical_mass if typical_sampling else None,

@@ -70,9 +70,14 @@ class TextToSpeechFast:
     def __init__(self, models_dir=None, tokenizer_vocab_file=None,
                  tokenizer_basic=False, dtype=jnp.bfloat16, allow_random_weights=True,
                  ar_config: UnifiedVoiceConfig | None = None,
-                 latent_bucket: int = 64):
+                 latent_bucket: int = 64, text_bucket: int = 32):
         self.dtype = dtype
         self.latent_bucket = latent_bucket
+        # Pad text to bucket multiples with the stop token so each sentence
+        # length reuses one compiled prefill/decode program. Stop-token text
+        # padding is in-distribution (training batches padded the same way,
+        # reference autoregressive.py:485); set 0 for reference-exact prompts.
+        self.text_bucket = text_bucket
         self.tokenizer = VoiceBpeTokenizer(vocab_file=tokenizer_vocab_file,
                                            use_basic_cleaners=tokenizer_basic)
         self.mel_norms = mel_ops.load_mel_norms(MEL_NORMS_FILE)
@@ -160,6 +165,9 @@ class TextToSpeechFast:
         assert text_tokens.shape[-1] < 400, (
             "Too much text provided. Break the text up into separate segments "
             "and re-try inference.")
+        if self.text_bucket:
+            tb = -(-text_tokens.shape[1] // self.text_bucket) * self.text_bucket
+            text_tokens = np.pad(text_tokens, ((0, 0), (0, tb - text_tokens.shape[1])))
         if voice_samples is not None:
             cond = self.get_conditioning_latents(voice_samples)
         elif conditioning_latents is not None:
@@ -169,6 +177,12 @@ class TextToSpeechFast:
         else:
             cond = self.get_random_conditioning_latents(det_seed)
         return det_seed, text_tokens, cond
+
+    def _clamp_mel_tokens(self, max_mel_tokens: int) -> int:
+        """Cap generation to the model's mel position table (the decode quirk
+        uses positions up to step+2); out-of-range embedding lookups would
+        gather NaN fill values."""
+        return min(max_mel_tokens, self.autoregressive.config.mel_pos_len - 3)
 
     def _trim_codes(self, codes: np.ndarray) -> int:
         """Natural length incl. the stop token (mirrors HF generate output)."""
@@ -192,6 +206,7 @@ class TextToSpeechFast:
         det_seed, text_tokens, cond = self._prepare(
             text, voice_samples, conditioning_latents, use_deterministic_seed)
 
+        max_mel_tokens = self._clamp_mel_tokens(max_mel_tokens)
         settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
                                    max_generate=max_mel_tokens)
@@ -250,6 +265,7 @@ class TextToSpeechFast:
             if cond.shape[0] == 1:
                 cond = np.repeat(cond, n, 0)
 
+        max_mel_tokens = self._clamp_mel_tokens(max_mel_tokens)
         settings = SamplerSettings(temperature=temperature, top_k=top_k,
                                    top_p=top_p,
                                    repetition_penalty=repetition_penalty,
@@ -290,6 +306,7 @@ class TextToSpeechFast:
 
         det_seed, text_tokens, cond = self._prepare(
             text, voice_samples, conditioning_latents, use_deterministic_seed)
+        max_mel_tokens = self._clamp_mel_tokens(max_mel_tokens)
         settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
                                    max_generate=max_mel_tokens)

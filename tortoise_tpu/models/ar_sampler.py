@@ -48,6 +48,13 @@ class SamplerSettings:
 
 
 def _warp_and_sample(settings: SamplerSettings, logits, seen, step_rng):
+    if settings.do_sample and settings.typical_mass is None and settings.top_k > 0:
+        # fused top-k/top-p sampler: avoids full-vocab sorts per step
+        return sampling.sample_topk_topp(
+            step_rng, logits, seen,
+            repetition_penalty=settings.repetition_penalty,
+            temperature=settings.temperature,
+            top_k=settings.top_k, top_p=settings.top_p)
     warped = sampling.process_logits(
         logits, seen,
         repetition_penalty=settings.repetition_penalty,

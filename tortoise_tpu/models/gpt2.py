@@ -6,9 +6,15 @@ UnifiedVoice on (reference: tortoise/models/autoregressive.py:246-266 with
 per-modality embeddings added to the input), but engineered for TPU decode:
 
 * one fused qkv projection feeding an f32-softmax attention,
-* a functional KV cache — a pytree of (L, B, H, T_max, Dh) buffers updated
-  with ``lax.dynamic_update_slice`` — designed to live inside ``lax.scan``
-  decode loops with fully static shapes,
+* a functional KV cache — {"k","v"} buffers of shape (L, B, H, T_max, Dh)
+  carried through the layer scan and the decode loop, updated with tiny
+  ``dynamic_update_slice`` writes at (layer, position) so XLA keeps the
+  buffer in place (returning per-layer caches as scan outputs forces a full
+  multi-GB buffer copy every decode step),
+* flash-decode attention reads only the valid cache prefix
+  (ops/attention.py),
+* layers are weight-stacked under ``nn.scan`` — the HLO shrinks ~n_layer-fold
+  and full-model compiles drop from minutes to seconds,
 * bfloat16 compute / float32 params by default.
 
 The HF details that matter for checkpoint parity are kept: LayerNorm eps
@@ -45,12 +51,11 @@ class GPT2Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, layer_cache=None, cache_index=None, attn_bias=None):
-        """x: (B, T, C). If ``layer_cache`` is given (dict k/v of shape
-        (B, H, T_max, Dh)), keys/values are written at ``cache_index`` and
-        attention runs over the whole cache with an index-validity mask;
-        otherwise plain causal attention over x.
-        Returns (out, new_layer_cache)."""
+    def __call__(self, x, *, cache=None, layer_idx=None, cache_index=None):
+        """x: (B, T, C). With ``cache`` ({"k","v"} of (L, B, H, T_max, Dh))
+        the new keys/values are written in place at (layer_idx, cache_index)
+        and attention runs over the valid prefix; otherwise plain causal
+        attention. Returns (out, cache)."""
         cfg = self.config
         b, t, c = x.shape
         h, dh = cfg.n_head, c // cfg.n_head
@@ -60,18 +65,28 @@ class GPT2Attention(nn.Module):
         k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
 
-        if layer_cache is not None:
-            ck = jax.lax.dynamic_update_slice(layer_cache["k"], k.astype(layer_cache["k"].dtype),
-                                              (0, 0, cache_index, 0))
-            cv = jax.lax.dynamic_update_slice(layer_cache["v"], v.astype(layer_cache["v"].dtype),
-                                              (0, 0, cache_index, 0))
-            if t == 1 and ck.shape[2] % 256 == 0:
+        if cache is not None:
+            kc = cache["k"]
+            cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k[None].astype(kc.dtype),
+                    (layer_idx, 0, 0, cache_index, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v[None].astype(kc.dtype),
+                    (layer_idx, 0, 0, cache_index, 0)),
+            }
+            if t == 1 and kc.shape[3] % 256 == 0:
                 # flash-decode: dynamic-trip-count chunked online softmax —
                 # only the valid cache prefix is read (ops/attention.py)
-                from tortoise_tpu.ops.attention import chunked_decode_attention
+                from tortoise_tpu.ops.attention import chunked_decode_attention_layered
 
-                out = chunked_decode_attention(q, ck, cv, cache_index)
+                out = chunked_decode_attention_layered(q, cache["k"], cache["v"],
+                                                       layer_idx, cache_index)
             else:
+                ck = jax.lax.dynamic_index_in_dim(cache["k"], layer_idx, 0,
+                                                  keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(cache["v"], layer_idx, 0,
+                                                  keepdims=False)
                 t_max = ck.shape[2]
                 key_pos = jnp.arange(t_max)[None, :]                 # (1, T_max)
                 query_pos = cache_index + jnp.arange(t)[:, None]     # (T, 1)
@@ -79,25 +94,19 @@ class GPT2Attention(nn.Module):
                 logits = jnp.einsum("bhtd,bhsd->bhts", q, ck.astype(self.dtype),
                                     preferred_element_type=jnp.float32) / np.sqrt(dh)
                 logits = jnp.where(mask[None, None], logits, NEG_INF)
-                if attn_bias is not None:
-                    logits = logits + attn_bias
                 w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
                 out = jnp.einsum("bhts,bhsd->bhtd", w, cv.astype(self.dtype))
-            new_cache = {"k": ck, "v": cv}
         else:
             mask = jnp.tril(jnp.ones((t, t), dtype=bool))
             logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
                                 preferred_element_type=jnp.float32) / np.sqrt(dh)
             logits = jnp.where(mask[None, None], logits, NEG_INF)
-            if attn_bias is not None:
-                logits = logits + attn_bias
             w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
             out = jnp.einsum("bhts,bhsd->bhtd", w, v)
-            new_cache = None
 
         out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
         out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj")(out)
-        return out, new_cache
+        return out, cache
 
 
 class GPT2Block(nn.Module):
@@ -105,12 +114,12 @@ class GPT2Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, layer_cache=None, cache_index=None):
+    def __call__(self, x, *, cache=None, layer_idx=None, cache_index=None):
         cfg = self.config
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="ln_1")(x.astype(jnp.float32)).astype(self.dtype)
-        attn_out, new_cache = GPT2Attention(cfg, dtype=self.dtype, name="attn")(
-            h, layer_cache=layer_cache, cache_index=cache_index)
+        attn_out, cache = GPT2Attention(cfg, dtype=self.dtype, name="attn")(
+            h, cache=cache, layer_idx=layer_idx, cache_index=cache_index)
         x = x + attn_out
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="ln_2")(x.astype(jnp.float32)).astype(self.dtype)
@@ -119,34 +128,28 @@ class GPT2Block(nn.Module):
         h = gelu_new(h)
         h = nn.Dense(cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_proj")(h)
-        return x + h, new_cache
+        return x + h, cache
 
 
 class _BlockScanBody(nn.Module):
-    """Scan body wrapping GPT2Block: carry = (x, cache_index), xs = layer
-    cache slice, ys = updated layer cache."""
+    """Scan body wrapping GPT2Block: carry = (x, cache, cache_index),
+    xs = layer index."""
     config: GPT2Config
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
     @nn.compact
-    def __call__(self, carry, layer_cache):
-        x, cache_index = carry
-        block = nn.remat(GPT2Block) if (self.remat and layer_cache is None) \
-            else GPT2Block
-        x, new_cache = block(self.config, dtype=self.dtype, name="block")(
-            x, layer_cache=layer_cache, cache_index=cache_index)
-        return (x, cache_index), new_cache
+    def __call__(self, carry, layer_idx):
+        x, cache, cache_index = carry
+        block = nn.remat(GPT2Block) if (self.remat and cache is None) else GPT2Block
+        x, cache = block(self.config, dtype=self.dtype, name="block")(
+            x, cache=cache, layer_idx=layer_idx, cache_index=cache_index)
+        return (x, cache, cache_index), None
 
 
 class GPT2Stack(nn.Module):
     """N transformer blocks + final ln_f. Call with embeddings (positions are
     the caller's responsibility, mirroring the reference's nulled wpe).
-
-    Layers are weight-stacked and driven by ``nn.scan`` — one compiled block
-    instead of n_layer inlined copies, which shrinks the HLO ~n_layer-fold
-    (compiles of the 30-layer model drop from minutes to seconds). Param
-    layout: {"h_scan": {"block": ...}} with a leading layer axis.
 
     ``remat=True`` rematerializes each block in the backward pass — the
     training-time equivalent of the reference's gradient checkpointing
@@ -168,11 +171,12 @@ class GPT2Stack(nn.Module):
                        in_axes=0, out_axes=0,
                        unroll=unroll,
                        length=cfg.n_layer)
-        (x, _), new_cache = scan(cfg, dtype=self.dtype, remat=self.remat,
-                                 name="h_scan")((x, cache_index), cache)
+        layer_ids = jnp.arange(cfg.n_layer)
+        (x, cache, _), _ = scan(cfg, dtype=self.dtype, remat=self.remat,
+                                name="h_scan")((x, cache, cache_index), layer_ids)
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="ln_f")(x.astype(jnp.float32)).astype(self.dtype)
-        return x, new_cache
+        return x, cache
 
 
 def init_kv_cache(config: GPT2Config, batch: int, max_len: int,

@@ -58,3 +58,47 @@ def chunked_decode_attention(q: jnp.ndarray, ck: jnp.ndarray, cv: jnp.ndarray,
             jnp.zeros((b, h, 1, d), jnp.float32))
     m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
     return (acc / l[..., None]).astype(q.dtype)
+
+
+def chunked_decode_attention_layered(q: jnp.ndarray, ck: jnp.ndarray,
+                                     cv: jnp.ndarray, layer_idx, cache_index,
+                                     chunk: int = 256) -> jnp.ndarray:
+    """Flash-decode reading directly from the full layered cache.
+
+    q: (B, H, 1, D); ck/cv: (L, B, H, T_max, D); slices (layer, chunk)
+    windows so only the valid prefix of the current layer is ever read —
+    materializing a per-layer copy first would move the whole buffer every
+    step.
+    """
+    b, h, _, d = q.shape
+    t_max = ck.shape[3]
+    n = cache_index + 1
+    n_chunks = (n + chunk - 1) // chunk
+    scale = 1.0 / np.sqrt(d)
+    qf = q.astype(jnp.float32)
+
+    def body(c, carry):
+        m, l, acc = carry
+        start = c * chunk
+        k_blk = jax.lax.dynamic_slice(ck, (layer_idx, 0, 0, start, 0),
+                                      (1, b, h, chunk, d))[0]
+        v_blk = jax.lax.dynamic_slice(cv, (layer_idx, 0, 0, start, 0),
+                                      (1, b, h, chunk, d))[0]
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32),
+                            preferred_element_type=jnp.float32) * scale
+        pos = start + jnp.arange(chunk)
+        logits = jnp.where(pos[None, None, None, :] < n, logits, NEG_INF)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        p = jnp.exp(logits - m_new[..., None])
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    init = (jnp.full((b, h, 1), NEG_INF, jnp.float32),
+            jnp.zeros((b, h, 1), jnp.float32),
+            jnp.zeros((b, h, 1, d), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
+    return (acc / l[..., None]).astype(q.dtype)
