@@ -72,3 +72,22 @@ def test_forward_masked_cond_free_matches_exact(model):
                      conditioning_free=True, valid_len=jnp.asarray(t_exact))
     np.testing.assert_allclose(np.asarray(masked)[:, :t_exact],
                                np.asarray(exact), rtol=5e-5, atol=5e-5)
+
+
+def test_precomputed_rel_biases_match_inline(model):
+    import jax
+
+    from tortoise_tpu.models.diffusion_decoder import compute_rel_biases
+
+    m, variables = model
+    rng = np.random.default_rng(3)
+    t = 32
+    x = jnp.asarray(rng.standard_normal((1, t, 100)), jnp.float32)
+    pre = jnp.asarray(rng.standard_normal((1, t, CH)), jnp.float32)
+    ts = jnp.asarray([100])
+    base = m.apply(variables, x, ts, precomputed_aligned_embeddings=pre)
+    biases = compute_rel_biases(variables["params"], m.config, t, dtype=jnp.float32)
+    hoisted = m.apply(variables, x, ts, precomputed_aligned_embeddings=pre,
+                      rel_biases=biases)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)

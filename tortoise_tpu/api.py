@@ -197,6 +197,13 @@ class TextToSpeech:
                 v, latents, n, diff_cond, out_len, out_bucket,
                 method=DiffusionTts.timestep_independent_bucketed)
 
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def _rel_biases(v, out_bucket):
+            from tortoise_tpu.models.diffusion_decoder import compute_rel_biases
+
+            return compute_rel_biases(v["params"], dcfg, out_bucket,
+                                      dtype=self.dtype)
+
         @jax.jit
         def _vocode(v, mel, z):
             return self.vocoder.apply(v, mel, z,
@@ -211,6 +218,7 @@ class TextToSpeech:
                                                        self.diffusion_vars)
         self._timestep_independent_bucketed = functools.partial(
             _timestep_independent_bucketed, self.diffusion_vars)
+        self._rel_biases = _rel_biases
         self._vocode = functools.partial(_vocode, self.vocoder_vars)
 
     # ------------------------------------------------------------------
@@ -285,10 +293,11 @@ class TextToSpeech:
             schedule = spaced_schedule("linear", 4000, steps)
             model = self.diffusion
 
-            def model_fn(v, x, t, pre_cond, doubled, valid_len=None):
+            def model_fn(v, x, t, pre_pack, doubled, valid_len=None):
+                pre_cond, rel_biases = pre_pack
                 return model.apply(v, x, t,
                                    precomputed_aligned_embeddings=pre_cond,
-                                   valid_len=valid_len)
+                                   rel_biases=rel_biases, valid_len=valid_len)
 
             self._diffusion_loops[key] = make_p_sample_loop(
                 model_fn, schedule,
@@ -327,7 +336,9 @@ class TextToSpeech:
         rng, r = jax.random.split(rng)
         noise = jax.random.normal(r, (latents.shape[0], out_bucket, 100)) * temperature
         loop = self._diffusion_loop(diffusion_iterations, cond_free, cond_free_k)
-        mel = loop(self.diffusion_vars, pre_cond, noise, rng, jnp.asarray(out_len))
+        rel_biases = self._rel_biases(self.diffusion_vars, out_bucket)
+        mel = loop(self.diffusion_vars, (pre_cond, rel_biases), noise, rng,
+                   jnp.asarray(out_len))
         mel = mel_ops.denormalize_tacotron_mel(mel)
         return jnp.swapaxes(mel, 1, 2)[:, :, :out_len]
 

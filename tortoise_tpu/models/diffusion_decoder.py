@@ -88,12 +88,13 @@ class DiffusionLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, valid_mask=None):
+    def __call__(self, x, emb, valid_mask=None, precomputed_bias=None):
         h = TimestepResBlock(self.channels, self.channels, dtype=self.dtype,
                              name="resblk")(x, emb, valid_mask=valid_mask)
         return AttentionBlock(self.channels, self.num_heads,
                               relative_pos_embeddings=True, dtype=self.dtype,
-                              name="attn")(h, valid_mask=valid_mask)
+                              name="attn")(h, valid_mask=valid_mask,
+                                           precomputed_bias=precomputed_bias)
 
 
 class _DiffLayerScanBody(nn.Module):
@@ -103,17 +104,19 @@ class _DiffLayerScanBody(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h, time_emb, valid_mask):
+    def __call__(self, h, time_emb, valid_mask, precomputed_bias):
         h = DiffusionLayer(self.channels, self.num_heads, dtype=self.dtype,
-                           name="layer")(h, time_emb, valid_mask=valid_mask)
+                           name="layer")(h, time_emb, valid_mask=valid_mask,
+                                         precomputed_bias=precomputed_bias)
         return h, None
 
 
 def _scanned_diff_layers(channels, num_heads, dtype, length, name):
+    # xs axes: time_emb/valid_mask broadcast; per-layer precomputed bias scanned
     return nn.scan(_DiffLayerScanBody,
                    variable_axes={"params": 0},
                    split_rngs={"params": True},
-                   in_axes=(nn.broadcast, nn.broadcast), out_axes=0,
+                   in_axes=(nn.broadcast, nn.broadcast, 0), out_axes=0,
                    length=length)(channels, num_heads, dtype=dtype, name=name)
 
 
@@ -248,7 +251,8 @@ class DiffusionTts(nn.Module):
     # ------------------------------------------------------------------
     def __call__(self, x, timesteps, precomputed_aligned_embeddings=None,
                  aligned_conditioning=None, conditioning_latent=None,
-                 conditioning_free: bool = False, valid_len=None):
+                 conditioning_free: bool = False, valid_len=None,
+                 rel_biases=None):
         """x: (B, T, 100) noisy mel; timesteps: (B,) original-scale ints.
         Returns (B, T, 200): mean and learned-range variance channels
         (reference diffusion_decoder.py:262-322).
@@ -278,11 +282,13 @@ class DiffusionTts(nn.Module):
 
         time_emb = self.time_embed_2(nn.silu(self.time_embed_1(
             timestep_embedding(timesteps, cfg.model_channels))))
-        code_emb, _ = self.cond_scan(code_emb, time_emb, valid_mask)
+        if rel_biases is None:
+            rel_biases = (None, None)
+        code_emb, _ = self.cond_scan(code_emb, time_emb, valid_mask, rel_biases[1])
         h = self.inp_block(x)
         h = jnp.concatenate([h, code_emb], axis=-1)
         h = self.integrating_conv(h)
-        h, _ = self.layers_scan(h, time_emb, valid_mask)
+        h, _ = self.layers_scan(h, time_emb, valid_mask, rel_biases[0])
         for lyr in self.tail:
             h = lyr(h, time_emb, valid_mask=valid_mask)
         h = h.astype(jnp.float32)
@@ -309,3 +315,27 @@ def init_diffusion_tts(model: DiffusionTts, rng) -> dict:
             conditioning_free=True)
 
     return model.init(rng, method=touch_all)
+
+
+def compute_rel_biases(params: dict, config: DiffusionTtsConfig, t: int,
+                       dtype=jnp.bfloat16):
+    """Precompute the per-layer relative-position bias stacks for a T-frame
+    run: (L, H, T, T) for the main layer scan and (3, H, T, T) for the
+    conditioning integrator. Done once per sampling call and threaded through
+    the timestep loop — recomputing the (T, T) table gather inside every
+    diffusion step measured ~68 ms/step (77%% of the step)."""
+    from tortoise_tpu.models.blocks import _np_relative_position_bucket
+
+    buckets = _np_relative_position_bucket(
+        np.arange(t)[None, :] - np.arange(t)[:, None], 32, 64, False)
+    scale = (config.model_channels // config.num_heads) ** 0.5
+    idx = jnp.asarray(buckets.reshape(-1))
+
+    def expand(table_stack):
+        flat = jnp.take(jnp.asarray(table_stack), idx, axis=1)  # (L, T*T, H)
+        return (flat.reshape(table_stack.shape[0], t, t, -1)
+                .transpose(0, 3, 1, 2) * scale).astype(dtype)
+
+    b_layers = expand(params["layers_scan"]["layer"]["attn"]["rel_pos"]["embedding"])
+    b_cond = expand(params["cond_scan"]["layer"]["attn"]["rel_pos"]["embedding"])
+    return b_layers, b_cond
