@@ -48,3 +48,31 @@ def test_train_step_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_quality_api_with_mesh():
+    import warnings
+
+    from tortoise_tpu.api import TextToSpeech
+    from tortoise_tpu.models.autoregressive import UnifiedVoiceConfig
+    from tortoise_tpu.models.clvp import CLVPConfig
+    from tortoise_tpu.models.diffusion_decoder import DiffusionTtsConfig
+    from tortoise_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8, tp=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts = TextToSpeech(
+            autoregressive_batch_size=8, half=False, mesh=mesh,
+            ar_config=UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                                         max_text_tokens=60, max_mel_tokens=80),
+            diffusion_config=DiffusionTtsConfig(model_channels=128, num_layers=2,
+                                                in_latent_channels=128, num_heads=4),
+            clvp_config=CLVPConfig(dim_text=128, dim_speech=128, dim_latent=128,
+                                   text_enc_depth=2, text_heads=4,
+                                   speech_enc_depth=2, speech_heads=4))
+    with mesh:
+        wav = tts.tts("Sharded candidates.", num_autoregressive_samples=8,
+                      diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
+                      use_deterministic_seed=1, verbose=False)
+    assert np.isfinite(wav).all()

@@ -85,13 +85,21 @@ class TextToSpeech:
     def __init__(self, autoregressive_batch_size=None, models_dir=None,
                  enable_redaction=False, kv_cache=True, half=True, device=None,
                  tokenizer_vocab_file=None, tokenizer_basic=False,
-                 allow_random_weights=True, text_bucket: int = 32,
+                 allow_random_weights=True, text_bucket: int = 32, mesh=None,
                  ar_config: UnifiedVoiceConfig | None = None,
                  diffusion_config: DiffusionTtsConfig | None = None,
                  clvp_config: CLVPConfig | None = None):
         # kv_cache/half/device kept for reference API compatibility; the TPU
         # build always uses a KV cache and bf16 compute when half=True.
         del kv_cache, device
+        # Optional jax.sharding.Mesh: the AR candidate batch (and with it the
+        # whole decode scan) shards over the mesh's dp axis (SURVEY §2.5).
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from tortoise_tpu.parallel.mesh import batch_sharding
+
+            self._batch_sharding = batch_sharding(mesh)
         self.text_bucket = text_bucket
         self.autoregressive_batch_size = autoregressive_batch_size or 32
         self.dtype = jnp.bfloat16 if half else jnp.float32
@@ -404,7 +412,8 @@ class TextToSpeech:
                 codes, _ = sample_speech(self.autoregressive, self.ar_vars,
                                          jnp.asarray(auto_conditioning),
                                          jnp.asarray(text_tokens), r, num_samples=bs,
-                                         settings=settings)
+                                         settings=settings,
+                                         batch_sharding=self._batch_sharding)
                 samples.append(np.asarray(codes))
         samples = np.concatenate(samples, axis=0)  # (N, max_mel_tokens)
 
