@@ -332,9 +332,14 @@ def compute_rel_biases(params: dict, config: DiffusionTtsConfig, t: int,
     idx = jnp.asarray(buckets.reshape(-1))
 
     def expand(table_stack):
-        flat = jnp.take(jnp.asarray(table_stack), idx, axis=1)  # (L, T*T, H)
-        return (flat.reshape(table_stack.shape[0], t, t, -1)
-                .transpose(0, 3, 1, 2) * scale).astype(dtype)
+        # Keep the gather output's minor dim merged (L*H=160 -> 256-lane pad,
+        # 1.6x) — separate (…,10,16) minor dims tile-pad 16->128 lanes (8x)
+        # and the allocation OOMs at T~2k.
+        l, nb, h2 = table_stack.shape
+        tab2 = jnp.asarray(table_stack).transpose(1, 0, 2).reshape(nb, l * h2)
+        flat = jnp.take(tab2, idx, axis=0)                     # (T*T, L*H)
+        bias = flat.T.reshape(l, h2, t, t)
+        return (bias * scale).astype(dtype)
 
     b_layers = expand(params["layers_scan"]["layer"]["attn"]["rel_pos"]["embedding"])
     b_cond = expand(params["cond_scan"]["layer"]["attn"]["rel_pos"]["embedding"])
