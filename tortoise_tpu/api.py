@@ -489,3 +489,43 @@ class TextToSpeech:
 
     def deterministic_state(self, seed=None):
         return deterministic_state(seed)
+
+
+# ---------------------------------------------------------------------------
+# Module-level API compatibility with the reference (tortoise/api.py)
+# ---------------------------------------------------------------------------
+
+def load_discrete_vocoder_diffuser(trained_diffusion_steps=4000,
+                                   desired_diffusion_steps=200,
+                                   cond_free=True, cond_free_k=1):
+    """Reference-compatible helper (api.py:64-70): returns the spaced
+    schedule + sampler config pair this framework's loops consume."""
+    from tortoise_tpu.diffusion.sampler import SamplerConfig
+
+    schedule = spaced_schedule("linear", trained_diffusion_steps,
+                               desired_diffusion_steps)
+    return schedule, SamplerConfig(cond_free=cond_free, cond_free_k=cond_free_k)
+
+
+def classify_audio_clip(clip, models_dir=None):
+    """Probability a clip came from Tortoise (reference api.py:133-145)."""
+    import jax
+
+    from tortoise_tpu import weights as _w
+    from tortoise_tpu.models.classifier import (AudioMiniEncoderWithClassifierHead,
+                                                ClassifierConfig)
+    from tortoise_tpu.models.classifier import classify_audio_clip as _cls
+
+    model = AudioMiniEncoderWithClassifierHead(ClassifierConfig())
+    params, _ = _w.get_params(
+        "classifier",
+        lambda: _w.host_init(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1))),
+            seed=7)["params"],
+        models_dir)
+    return _cls(clip, {"params": params})
+
+
+def pad_or_truncate(t, length):
+    """Reference api.py:52-61."""
+    return audio_utils.pad_or_truncate(np.asarray(t), length)
