@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--tokens", type=int, default=200,
                     help="AR tokens per run (~46.4 ms of audio each)")
+    ap.add_argument("--preset", default=None,
+                    choices=["ultra_fast", "fast", "standard", "high_quality"],
+                    help="bench the QUALITY pipeline at this preset instead "
+                         "of the fast path")
     args = ap.parse_args()
 
     import warnings
@@ -53,7 +57,24 @@ def main():
     from tortoise_tpu.api_fast import TextToSpeechFast
     from tortoise_tpu.models.autoregressive import UnifiedVoiceConfig
 
-    if args.smoke:
+    if args.preset is not None:
+        from tortoise_tpu.api import TextToSpeech
+
+        tokens = args.tokens
+        qtts = TextToSpeech(half=not args.smoke)
+
+        def run(seed):
+            t0 = time.perf_counter()
+            wav = qtts.tts_with_preset(SENTENCE, preset=args.preset,
+                                       use_deterministic_seed=seed,
+                                       max_mel_tokens=tokens, verbose=False)
+            wall = time.perf_counter() - t0
+            return wall, wav.shape[-1] / 24000.0
+
+        class _Src:  # report weight provenance like the fast path
+            ar_source = qtts.ar_source
+        tts = _Src()
+    elif args.smoke:
         cfg = UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
                                  max_text_tokens=60, max_mel_tokens=80)
         tokens = 32
@@ -62,13 +83,14 @@ def main():
         tokens = args.tokens
         tts = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64)
 
-    def run(seed):
-        t0 = time.perf_counter()
-        wav = tts.tts(SENTENCE, use_deterministic_seed=seed,
-                      max_mel_tokens=tokens, verbose=False)
-        wall = time.perf_counter() - t0
-        audio_sec = wav.shape[-1] / 24000.0
-        return wall, audio_sec
+    if args.preset is None:
+        def run(seed):
+            t0 = time.perf_counter()
+            wav = tts.tts(SENTENCE, use_deterministic_seed=seed,
+                          max_mel_tokens=tokens, verbose=False)
+            wall = time.perf_counter() - t0
+            audio_sec = wav.shape[-1] / 24000.0
+            return wall, audio_sec
 
     run(0)  # warm all compiles
     results = [run(i + 1) for i in range(args.runs)]
@@ -77,8 +99,10 @@ def main():
     walls = sorted(w for w, _ in results)
     p50_wall = walls[len(walls) // 2]
 
+    metric = "fast_preset_rtf" if args.preset is None else \
+        f"quality_{args.preset}_rtf"
     print(json.dumps({
-        "metric": "fast_preset_rtf",
+        "metric": metric,
         "value": round(rtf, 4),
         "unit": "wall_sec_per_audio_sec",
         "vs_baseline": round(REFERENCE_RTF / rtf, 3),
