@@ -75,3 +75,17 @@ def test_reference_builtin_voices_visible():
     voices = audio_utils.get_voices()
     assert "train_dotrice" in voices and "angie" in voices
     assert len(voices) >= 25
+
+
+def test_safetensors_and_orbax_roundtrip(tmp_path):
+    pytest.importorskip("safetensors")
+    params = {"a": {"kernel": np.ones((3, 4), np.float32)},
+              "b": np.zeros(2, np.float32)}
+    w.save_params_safetensors(str(tmp_path / "m.safetensors"), params)
+    r = w.load_params_safetensors(str(tmp_path / "m.safetensors"))
+    np.testing.assert_array_equal(r["a"]["kernel"], params["a"]["kernel"])
+
+    w.save_params_orbax(str(tmp_path / "ockpt"), params)
+    r2 = w.load_params_orbax(str(tmp_path / "ockpt"))
+    np.testing.assert_array_equal(np.asarray(r2["a"]["kernel"]),
+                                  params["a"]["kernel"])

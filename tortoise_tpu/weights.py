@@ -157,3 +157,36 @@ def host_init(shape_fn, seed: int = 0) -> dict:
                 / np.sqrt(fan_in)).astype(dtype)
 
     return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
+def save_params_safetensors(path: str, params: dict) -> None:
+    """Export a param tree as safetensors (flat '/'-joined keys)."""
+    from safetensors.numpy import save_file
+
+    flat = {"/".join(k): np.ascontiguousarray(v)
+            for k, v in flatten_dict(params).items()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_file(flat, path)
+
+
+def load_params_safetensors(path: str) -> dict:
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    return unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
+
+
+def save_params_orbax(path: str, params: dict) -> None:
+    """Export via orbax (directory checkpoint, async-capable)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
