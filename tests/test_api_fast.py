@@ -87,3 +87,28 @@ def test_tts_batch_serving(tts):
                                          batch_sharding=batch_sharding(mesh))
         for a, b in zip(wavs, wavs_sharded):
             np.testing.assert_array_equal(a, b)
+
+
+def test_stream_emits_tail_on_segment_boundary(tts):
+    """Regression: a stop token landing exactly on a segment boundary must
+    still produce audio (previously the generator could yield nothing)."""
+    # force tiny chunks so boundaries are frequent; short max keeps it fast
+    for seed in range(3):
+        chunks = list(tts.tts_stream("Tiny.", use_deterministic_seed=seed,
+                                     max_mel_tokens=16, stream_chunk_size=8,
+                                     verbose=False))
+        assert len(chunks) >= 1
+        assert sum(len(c) for c in chunks) > 0
+
+
+def test_bucketed_hifi_decode_matches_exact(tts):
+    """The masked+edge-padded bucketed decode equals an unpadded decode."""
+    rng = np.random.default_rng(5)
+    n = 21  # deliberately not a bucket multiple (bucket=16)
+    lat = rng.standard_normal((1, n, 128)).astype(np.float32)
+    cond = rng.standard_normal((1, 128)).astype(np.float32)
+    bucketed = tts._decode_bucketed(lat, n, cond)
+    exact = np.asarray(tts._decode_wav(jnp.asarray(lat), jnp.asarray(cond),
+                                       jnp.asarray(_expected_samples(n) // 256)))
+    exact = exact[:, :_expected_samples(n), 0][:, None, :]
+    np.testing.assert_allclose(bucketed, exact, rtol=2e-4, atol=2e-4)

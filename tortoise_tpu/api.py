@@ -41,7 +41,7 @@ from tortoise_tpu.presets import QUALITY_PRESETS, resolve_preset
 from tortoise_tpu.utils import audio as audio_utils
 from tortoise_tpu.utils.tokenizer import VoiceBpeTokenizer
 
-MEL_NORMS_FILE = mel_ops.__file__.replace("ops/mel.py", "data/mel_norms.npy")
+MEL_NORMS_FILE = mel_ops.DEFAULT_MEL_NORMS_FILE
 CALM_TOKEN = 83  # mel code for silence (reference api.py:409)
 
 
@@ -372,14 +372,23 @@ class TextToSpeech:
 
         ids = self.tokenizer.encode(text)
         text_tokens = np.pad(np.asarray(ids, np.int32)[None], ((0, 0), (0, 1)))
-        assert text_tokens.shape[-1] < 400, (
-            "Too much text provided. Break the text up into separate segments "
-            "and re-try inference.")
+        # 400 for the shipped config (reference api.py:414); smaller text
+        # position tables lower the limit — OOB gathers would NaN silently.
+        limit = min(400, self.ar_cfg.max_text_tokens - 2)
+        assert text_tokens.shape[-1] < limit, (
+            f"Too much text provided ({text_tokens.shape[-1]} tokens >= {limit}). "
+            "Break the text up into separate segments and re-try inference.")
+        text_tokens_unbucketed = text_tokens
         if self.text_bucket:
             # one compiled prefill/decode per text-length bucket (stop-token
-            # padding is in-distribution; set text_bucket=0 for exact prompts)
+            # padding is in-distribution; set text_bucket=0 for exact prompts).
+            # Never pad past the text position table (max_text_tokens covers
+            # the bucketed length + start/stop wrapping).
             tb = -(-text_tokens.shape[1] // self.text_bucket) * self.text_bucket
-            text_tokens = np.pad(text_tokens, ((0, 0), (0, tb - text_tokens.shape[1])))
+            tb = min(tb, self.ar_cfg.max_text_tokens)
+            if tb > text_tokens.shape[1]:
+                text_tokens = np.pad(text_tokens,
+                                     ((0, 0), (0, tb - text_tokens.shape[1])))
 
         auto_conds = None
         if voice_samples is not None:
@@ -426,8 +435,10 @@ class TextToSpeech:
                           for s in samples])
         if cvvp_amount != 1:
             with timer.stage("clvp_rerank"):
-                clvp_scores = np.asarray(self._clvp_scores(jnp.asarray(text_tokens),
-                                                           jnp.asarray(fixed)))
+                # CLVP mean-pools over the whole text: feed it the reference's
+                # exact input (api-level single pad), not the bucketed prompt
+                clvp_scores = np.asarray(self._clvp_scores(
+                    jnp.asarray(text_tokens_unbucketed), jnp.asarray(fixed)))
         if auto_conds is not None and cvvp_amount > 0:
             if self.cvvp is None:
                 self.load_cvvp()

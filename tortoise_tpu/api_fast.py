@@ -38,7 +38,7 @@ from tortoise_tpu.ops import mel as mel_ops
 from tortoise_tpu.presets import FAST_PRESETS, resolve_preset
 from tortoise_tpu.utils.tokenizer import VoiceBpeTokenizer
 
-MEL_NORMS_FILE = mel_ops.__file__.replace("ops/mel.py", "data/mel_norms.npy")
+MEL_NORMS_FILE = mel_ops.DEFAULT_MEL_NORMS_FILE
 
 
 def deterministic_state(seed=None) -> int:
@@ -128,8 +128,8 @@ class TextToSpeechFast:
                 return_latent=True)
 
         @jax.jit
-        def _decode_wav(v, latents, cond):
-            return self.hifi_decoder.apply(v, latents, cond,
+        def _decode_wav(v, latents, cond, valid_frames):
+            return self.hifi_decoder.apply(v, latents, cond, valid_frames,
                                            method=HifiganGenerator.inference)
 
         self._conditioning = functools.partial(_conditioning, self.ar_vars)
@@ -162,12 +162,19 @@ class TextToSpeechFast:
         ids = self.tokenizer.encode(text)
         text_tokens = np.asarray(ids, np.int32)[None, :]
         text_tokens = np.pad(text_tokens, ((0, 0), (0, 1)))  # api-level pad
-        assert text_tokens.shape[-1] < 400, (
-            "Too much text provided. Break the text up into separate segments "
-            "and re-try inference.")
+        # 400 for the shipped config (reference api_fast.py:448); smaller text
+        # position tables lower the limit — OOB gathers would NaN silently.
+        limit = min(400, self.autoregressive.config.max_text_tokens - 2)
+        assert text_tokens.shape[-1] < limit, (
+            f"Too much text provided ({text_tokens.shape[-1]} tokens >= {limit}). "
+            "Break the text up into separate segments and re-try inference.")
         if self.text_bucket:
             tb = -(-text_tokens.shape[1] // self.text_bucket) * self.text_bucket
-            text_tokens = np.pad(text_tokens, ((0, 0), (0, tb - text_tokens.shape[1])))
+            # never pad past the text position table
+            tb = min(tb, self.autoregressive.config.max_text_tokens)
+            if tb > text_tokens.shape[1]:
+                text_tokens = np.pad(text_tokens,
+                                     ((0, 0), (0, tb - text_tokens.shape[1])))
         if voice_samples is not None:
             cond = self.get_conditioning_latents(voice_samples)
         elif conditioning_latents is not None:
@@ -183,6 +190,20 @@ class TextToSpeechFast:
         uses positions up to step+2); out-of-range embedding lookups would
         gather NaN fill values."""
         return min(max_mel_tokens, self.autoregressive.config.mel_pos_len - 3)
+
+    def _decode_bucketed(self, lat: np.ndarray, n: int, cond) -> np.ndarray:
+        """HiFi decode with latent-length bucketing. Latents are EDGE-padded
+        (so the interpolation boundary matches clamp semantics) and the
+        decoder masks activations past the valid frame count — the kept
+        region is exactly equal to an unpadded decode."""
+        nb = -(-n // self.latent_bucket) * self.latent_bucket \
+            if self.latent_bucket else n
+        lat_padded = np.pad(lat, ((0, 0), (0, nb - n), (0, 0)), mode="edge")
+        out_samples = _expected_samples(n)
+        wav = np.asarray(self._decode_wav(jnp.asarray(lat_padded),
+                                          jnp.asarray(cond),
+                                          jnp.asarray(out_samples // 256)))
+        return wav[:, :out_samples, 0][:, None, :]
 
     def _trim_codes(self, codes: np.ndarray) -> int:
         """Natural length incl. the stop token (mirrors HF generate output)."""
@@ -220,12 +241,7 @@ class TextToSpeechFast:
         n = self._trim_codes(np.asarray(codes)[0])
         lat = np.asarray(latents)[:, :n].astype(np.float32)
 
-        # Bucket the latent length so the decoder compiles once per bucket.
-        nb = -(-n // self.latent_bucket) * self.latent_bucket if self.latent_bucket else n
-        lat_padded = np.pad(lat, ((0, 0), (0, nb - n), (0, 0)))
-        wav = np.asarray(self._decode_wav(jnp.asarray(lat_padded), jnp.asarray(cond)))
-        out_samples = _expected_samples(n)
-        wav = wav[:, :out_samples, 0][:, None, :]
+        wav = self._decode_bucketed(lat, n, cond)
 
         if return_deterministic_state:
             return wav, (det_seed, text, voice_samples, conditioning_latents)
@@ -250,8 +266,13 @@ class TextToSpeechFast:
         n = len(texts)
         ids = [self.tokenizer.encode(t) for t in texts]
         max_len = max(len(i) for i in ids) + 1  # api-level pad
+        limit = min(400, self.autoregressive.config.max_text_tokens - 2)
+        assert max_len < limit, (
+            f"Too much text provided in at least one utterance "
+            f"(longest is {max_len} tokens >= {limit}).")
         tb = -(-max_len // text_bucket) * text_bucket if text_bucket else max_len
-        assert tb < 400, "Too much text provided in at least one utterance."
+        tb = min(tb, self.autoregressive.config.max_text_tokens)
+        tb = max(tb, max_len)
         toks = np.zeros((n, tb), np.int32)
         for r, seq in enumerate(ids):
             toks[r, :len(seq)] = seq
@@ -281,13 +302,8 @@ class TextToSpeechFast:
         wavs = []
         for r in range(n):
             nat = self._trim_codes(codes[r])
-            lat = latents[r:r + 1, :nat]
-            nb = -(-nat // self.latent_bucket) * self.latent_bucket \
-                if self.latent_bucket else nat
-            padded = np.pad(lat, ((0, 0), (0, nb - nat), (0, 0)))
-            wav = np.asarray(self._decode_wav(jnp.asarray(padded),
-                                              jnp.asarray(cond[r:r + 1])))
-            wavs.append(wav[:, :_expected_samples(nat), 0][:, None, :])
+            wavs.append(self._decode_bucketed(latents[r:r + 1, :nat], nat,
+                                              cond[r:r + 1]))
         return wavs
 
     # ------------------------------------------------------------------
@@ -319,31 +335,38 @@ class TextToSpeechFast:
         first_buffer = 60
         wav_gen_prev, wav_overlap = None, None
         emitted_upto = 0
+        last = None
+
+        def emit(upto, latents):
+            nonlocal wav_gen_prev, wav_overlap, emitted_upto, first_buffer
+            first_buffer = 0
+            emitted_upto = upto
+            wav_gen = self._decode_bucketed(latents[:, :upto].astype(np.float32),
+                                            upto, cond)[0, 0]
+            chunk, wav_gen_prev, wav_overlap = handle_chunks(
+                wav_gen, wav_gen_prev, wav_overlap, overlap_wav_len)
+            return chunk
+
         for codes, latents in stream_speech(
                 self.autoregressive, self.ar_vars, jnp.asarray(cond),
                 jnp.asarray(text_tokens), jax.random.PRNGKey(det_seed),
                 settings=settings, seg_len=stream_chunk_size):
+            last = (codes, latents)
             n = self._trim_codes(codes[0])
-            done = n < codes.shape[1] or n >= max_mel_tokens
-            ready = n if done else (n // stream_chunk_size) * stream_chunk_size
+            if n < codes.shape[1]:  # stop token latched: final emit below
+                break
+            ready = (n // stream_chunk_size) * stream_chunk_size
             threshold = first_buffer if emitted_upto == 0 else \
                 emitted_upto + stream_chunk_size
-            if not done and ready < threshold:
-                continue
-            first_buffer = 0
-            emitted_upto = ready
-            lat = latents[:, :ready].astype(np.float32)
-            nb = -(-ready // self.latent_bucket) * self.latent_bucket \
-                if self.latent_bucket else ready
-            padded = np.pad(lat, ((0, 0), (0, nb - ready), (0, 0)))
-            wav_gen = np.asarray(self._decode_wav(jnp.asarray(padded),
-                                                  jnp.asarray(cond)))
-            wav_gen = wav_gen[0, :_expected_samples(ready), 0]
-            chunk, wav_gen_prev, wav_overlap = handle_chunks(
-                wav_gen, wav_gen_prev, wav_overlap, overlap_wav_len)
-            yield chunk
-            if done:
-                return
+            if ready >= threshold:
+                yield emit(ready, latents)
+        # final flush: whatever the generator produced past the last emission
+        # (including the whole clip if it ended before the first buffer)
+        if last is not None:
+            codes, latents = last
+            n = self._trim_codes(codes[0])
+            if n > emitted_upto or emitted_upto == 0:
+                yield emit(n, latents)
 
     def deterministic_state(self, seed=None):
         return deterministic_state(seed)

@@ -58,23 +58,29 @@ class ConvTranspose(nn.Module):
 
 
 class ResBlock1(nn.Module):
-    """MRF residual block type 1 (reference hifigan_decoder.py:15-103)."""
+    """MRF residual block type 1 (reference hifigan_decoder.py:15-103).
+    ``valid_mask`` zeros right-padding after every conv so bucketed runs
+    match unpadded ones exactly (convs are the only cross-time ops here)."""
     channels: int
     kernel_size: int = 3
     dilations: tuple = (1, 3, 5)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_mask=None):
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(d,),
                          padding=(self.kernel_size * d - d) // 2, dtype=self.dtype,
                          param_dtype=jnp.float32, name=f"conv1_{i}")(xt)
+            if valid_mask is not None:
+                xt = xt * valid_mask  # conv2 reads this; pads must stay zero
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = nn.Conv(self.channels, (self.kernel_size,),
                          padding=(self.kernel_size - 1) // 2, dtype=self.dtype,
                          param_dtype=jnp.float32, name=f"conv2_{i}")(xt)
+            if valid_mask is not None:
+                xt = xt * valid_mask
             x = x + xt
         return x
 
@@ -87,12 +93,14 @@ class ResBlock2(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_mask=None):
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(d,),
                          padding=(self.kernel_size * d - d) // 2, dtype=self.dtype,
                          param_dtype=jnp.float32, name=f"conv_{i}")(xt)
+            if valid_mask is not None:
+                xt = xt * valid_mask
             x = x + xt
         return x
 
@@ -116,28 +124,50 @@ class HifiganGenerator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, g=None):
+    def __call__(self, x, g=None, valid_frames=None):
         """x: (B, T, in_channels); g: (B, cond_channels) speaker conditioning.
-        Returns (B, T * prod(upsample_factors), out_channels) in [-1, 1]."""
+        Returns (B, T * prod(upsample_factors), out_channels) in [-1, 1].
+
+        ``valid_frames`` (scalar): treat frames >= it as right-padding —
+        activations are zeroed after every conv, which makes the valid region
+        exactly equal to an unpadded run (the stack is convs + elementwise
+        only), so one compiled program serves a whole bucket of lengths.
+        """
         cfg = self.config
+
+        def mask_for(t, valid):
+            if valid is None:
+                return None
+            return (jnp.arange(t)[None, :, None] < valid).astype(self.dtype)
+
+        vm = mask_for(x.shape[1], valid_frames)
+        if vm is not None:
+            x = x * vm.astype(x.dtype)
         o = nn.Conv(cfg.upsample_initial_channel, (7,), padding=3, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv_pre")(x)
         if g is not None:
             cond = nn.Dense(cfg.upsample_initial_channel, dtype=self.dtype,
                             param_dtype=jnp.float32, name="cond_layer")(g)
             o = o + cond[:, None, :]
+        if vm is not None:
+            o = o * vm
         resblock = ResBlock1 if cfg.resblock_type == "1" else ResBlock2
         num_kernels = len(cfg.resblock_kernel_sizes)
+        valid = valid_frames
         for i, (u, k) in enumerate(zip(cfg.upsample_factors, cfg.upsample_kernel_sizes)):
             o = nn.leaky_relu(o, LRELU_SLOPE)
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             o = ConvTranspose(ch, k, u, padding=(k - u) // 2, dtype=self.dtype,
                               name=f"up_{i}")(o)
+            if valid is not None:
+                valid = valid * u
+                vm = mask_for(o.shape[1], valid)
+                o = o * vm
             z_sum = None
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                              cfg.resblock_dilation_sizes)):
                 z = resblock(ch, rk, tuple(rd), dtype=self.dtype,
-                             name=f"resblock_{i}_{j}")(o)
+                             name=f"resblock_{i}_{j}")(o, valid_mask=vm)
                 z_sum = z if z_sum is None else z_sum + z
             o = z_sum / num_kernels
         o = nn.leaky_relu(o, 0.01)  # reference uses the default slope here (:263)
@@ -145,12 +175,14 @@ class HifiganGenerator(nn.Module):
                     param_dtype=jnp.float32, name="conv_post")(o)
         return jnp.tanh(o)
 
-    def inference(self, c, g):
+    def inference(self, c, g, valid_frames=None):
         """c: (B, T, 1024) GPT latents; g: (B, 1024) speaker latent.
 
         Reference hifigan_decoder.py:268-294: latents are linearly
         interpolated x(1024/256) then x(24000/22050) before decoding.
+        When ``c`` is right-padded (edge-pad the latents!) pass the valid
+        post-interpolation frame count as ``valid_frames``.
         """
         up = linear_interpolate(c, 1024.0 / 256.0)
         up = linear_interpolate(up, 24000.0 / 22050.0)
-        return self(up, g)
+        return self(up, g, valid_frames=valid_frames)

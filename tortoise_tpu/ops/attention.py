@@ -20,46 +20,6 @@ import numpy as np
 NEG_INF = -1e9
 
 
-def chunked_decode_attention(q: jnp.ndarray, ck: jnp.ndarray, cv: jnp.ndarray,
-                             cache_index, chunk: int = 256) -> jnp.ndarray:
-    """Single-token decode attention over a preallocated cache.
-
-    q: (B, H, 1, D); ck/cv: (B, H, T_max, D); cache_index: scalar index of
-    the current token (valid keys are [0, cache_index]). Returns (B, H, 1, D)
-    in q's dtype. Accumulation in float32.
-    """
-    b, h, _, d = q.shape
-    t_max = ck.shape[2]
-    n = cache_index + 1
-    n_chunks = (n + chunk - 1) // chunk
-    scale = 1.0 / np.sqrt(d)
-    qf = q.astype(jnp.float32)
-
-    def body(c, carry):
-        m, l, acc = carry
-        start = c * chunk
-        k_blk = jax.lax.dynamic_slice(ck, (0, 0, start, 0), (b, h, chunk, d))
-        v_blk = jax.lax.dynamic_slice(cv, (0, 0, start, 0), (b, h, chunk, d))
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32),
-                            preferred_element_type=jnp.float32) * scale
-        pos = start + jnp.arange(chunk)
-        logits = jnp.where(pos[None, None, None, :] < n, logits, NEG_INF)
-        m_new = jnp.maximum(m, logits.max(axis=-1))
-        p = jnp.exp(logits - m_new[..., None])
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + p.sum(axis=-1)
-        acc_new = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
-
-    init = (jnp.full((b, h, 1), NEG_INF, jnp.float32),
-            jnp.zeros((b, h, 1), jnp.float32),
-            jnp.zeros((b, h, 1, d), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
-    return (acc / l[..., None]).astype(q.dtype)
-
-
 def chunked_decode_attention_layered(q: jnp.ndarray, ck: jnp.ndarray,
                                      cv: jnp.ndarray, layer_idx, cache_index,
                                      chunk: int = 256) -> jnp.ndarray:

@@ -29,6 +29,9 @@ def nearest_interpolate(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     """Nearest-neighbor resize over axis 1 of (B, T, C), matching
     ``F.interpolate(mode="nearest", size=out_len)`` (floor indexing)."""
     t = x.shape[1]
-    idx = np.floor(np.arange(out_len) * (t / out_len)).astype(np.int32)
-    idx = np.minimum(idx, t - 1)
+    # exact integer floor((i*t)/out_len): float multiplication can differ by
+    # one index at exact multiples, which would break the bucketed path's
+    # exact-equality guarantee (it uses the same integer form)
+    idx = (np.arange(out_len) * t) // out_len
+    idx = np.minimum(idx, t - 1).astype(np.int32)
     return x[:, idx]

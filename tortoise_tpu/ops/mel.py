@@ -175,6 +175,12 @@ def univnet_mel(wav: jnp.ndarray, do_normalization: bool = False) -> jnp.ndarray
     return mel
 
 
+import os
+
+DEFAULT_MEL_NORMS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      "..", "data", "mel_norms.npy")
+
+
 def load_mel_norms(path: str) -> jnp.ndarray:
     """Load the 80-bin mel normalization statistics (.npy or torch .pth)."""
     if path.endswith(".npy"):

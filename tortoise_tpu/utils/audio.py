@@ -27,8 +27,8 @@ BUILTIN_VOICES_DIR = os.path.join(os.path.dirname(os.path.realpath(__file__)), "
 # them as a search path when present so users keep their voice library.
 REFERENCE_VOICES_DIR = "/root/reference/tortoise/voices"
 
-TACOTRON_MEL_MAX = 2.3143386840820312
-TACOTRON_MEL_MIN = -11.512925148010254
+from tortoise_tpu.ops.mel import (TACOTRON_MEL_MAX,  # noqa: F401 (re-export)
+                                  TACOTRON_MEL_MIN)
 
 
 def load_wav(path: str) -> tuple[np.ndarray, int]:
