@@ -27,6 +27,21 @@ def test_fix_autoregressive_output_reference_semantics():
     np.testing.assert_array_equal(fix_autoregressive_output(codes2, 8193, False), codes2)
 
 
+def test_pick_best_batch_size_tiers():
+    from tortoise_tpu.api import pick_best_batch_size_for_device
+
+    class Fake:
+        def __init__(self, gb): self.gb = gb
+        def memory_stats(self): return {"bytes_limit": int(self.gb * 2 ** 30)}
+
+    assert pick_best_batch_size_for_device(Fake(32)) == 64
+    assert pick_best_batch_size_for_device(Fake(16)) == 32  # TPU v5e
+    assert pick_best_batch_size_for_device(Fake(8)) == 16
+    assert pick_best_batch_size_for_device(Fake(4)) == 8
+    # CPU backend has no memory_stats -> reference-parity default
+    assert pick_best_batch_size_for_device() == 32
+
+
 def test_calm_token_trim():
     codes = np.concatenate([np.arange(10), np.full(20, 83)])
     n = calm_token_trim_length(codes)

@@ -20,6 +20,19 @@ def test_stft_matches_torch():
     np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-3, atol=1e-3)
 
 
+def test_istft_roundtrip_and_torch_parity():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 12800)).astype(np.float32) * 0.3
+    spec = mel_ops.stft(jnp.asarray(x), 1024, 256, 1024)
+    y = np.asarray(mel_ops.istft(spec, 1024, 256, 1024))
+    np.testing.assert_allclose(y, x[:, :y.shape[-1]], atol=2e-6)
+    # parity with torch.istft on the same complex spectrum
+    w = torch.hann_window(1024)
+    ref = torch.istft(torch.from_numpy(np.asarray(spec)), 1024, 256, 1024,
+                      window=w, center=True)
+    np.testing.assert_allclose(y, ref.numpy(), atol=2e-5)
+
+
 def test_mel_filterbank_invariants():
     # Slaney-normalized triangular filters: non-negative, peak inside band.
     for htk in (False, True):

@@ -53,6 +53,16 @@ def test_voice_registry_and_latents(tmp_path):
     assert latents is None and len(clips) == 1
     assert clips[0].shape[0] == 1 and abs(clips[0]).max() <= 1.0
 
+    # first load cached the decoded clips; second load serves them from cache
+    assert os.path.exists(vdir / "testvoice.clips.npz")
+    clips2, _ = audio_utils.load_voice("testvoice", [str(tmp_path / "voices")])
+    np.testing.assert_array_equal(clips2[0], clips[0])
+    # cache alone (clips deleted) still resolves the voice
+    os.remove(vdir / "clip.wav")
+    clips3, latents3 = audio_utils.load_voice("testvoice", [str(tmp_path / "voices")])
+    assert latents3 is None
+    np.testing.assert_array_equal(clips3[0], clips[0])
+
     # latent-only voice
     ldir = tmp_path / "voices" / "latentvoice"
     os.makedirs(ldir)

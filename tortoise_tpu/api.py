@@ -45,6 +45,40 @@ MEL_NORMS_FILE = mel_ops.DEFAULT_MEL_NORMS_FILE
 CALM_TOKEN = 83  # mel code for silence (reference api.py:409)
 
 
+def pick_best_batch_size_for_device(device=None) -> int:
+    """Candidate micro-batch size from accelerator memory, the TPU analog of
+    the reference's free-VRAM tiers (reference api.py:148-172: 16/8/4/1 by
+    GPU memory). TPU HBM tiers are sized for the bf16 AR model + a
+    per-candidate KV cache; a v5e (16 GB) comfortably decodes 32 candidates
+    at once (measured), half that per halving of HBM.
+    """
+    # per-chip HBM for TPU generations whose backends don't expose
+    # memory_stats() (e.g. tunneled/plugin backends return None)
+    kind_hbm = {"TPU v5 lite": 16, "TPU v5e": 16, "TPU v4": 32,
+                "TPU v5": 95, "TPU v5p": 95, "TPU v6e": 32, "TPU v6 lite": 32}
+    hbm_gb = 0
+    try:
+        dev = device or jax.local_devices()[0]
+        stats = dev.memory_stats()
+        if stats:
+            hbm_gb = stats["bytes_limit"] / 2 ** 30
+        else:
+            kind = getattr(dev, "device_kind", "")
+            hbm_gb = next((v for k, v in kind_hbm.items()
+                           if kind.startswith(k)), 0)
+    except Exception:
+        pass
+    if hbm_gb >= 30:
+        return 64
+    if hbm_gb >= 14:
+        return 32
+    if hbm_gb >= 7:
+        return 16
+    if hbm_gb > 0:
+        return 8
+    return 32  # unknown backend (e.g. CPU tests): the reference-parity default
+
+
 def fix_autoregressive_output(codes: np.ndarray, stop_token: int,
                               complain: bool = True) -> np.ndarray:
     """Replace stop tokens with the calm token and force the DVAE-specific
@@ -101,7 +135,8 @@ class TextToSpeech:
 
             self._batch_sharding = batch_sharding(mesh)
         self.text_bucket = text_bucket
-        self.autoregressive_batch_size = autoregressive_batch_size or 32
+        self.autoregressive_batch_size = (autoregressive_batch_size
+                                          or pick_best_batch_size_for_device())
         self.dtype = jnp.bfloat16 if half else jnp.float32
         self.enable_redaction = enable_redaction
         self.aligner = None

@@ -139,6 +139,58 @@ def dynamic_range_compression(x, clip_val: float = 1e-5):
     return jnp.log(jnp.clip(x, min=clip_val))
 
 
+def stft(x: jnp.ndarray, n_fft: int, hop: int, win_length: int,
+         center: bool = True) -> jnp.ndarray:
+    """Complex STFT: (..., T) -> (..., n_freqs, n_frames).
+
+    Matches the conv-based forward transform of the reference's STFT class
+    (reference: tortoise/utils/stft.py:94-145) up to its magnitude/phase
+    split — we keep the complex spectrum directly.
+    """
+    frames = frame_signal(x, n_fft, hop, center=center)
+    frames = frames * jnp.asarray(_hann_window(win_length, n_fft))
+    return jnp.swapaxes(jnp.fft.rfft(frames, n=n_fft, axis=-1), -1, -2)
+
+
+@functools.lru_cache(maxsize=None)
+def _window_sumsquare(win_length: int, n_fft: int, hop: int,
+                      n_frames: int) -> np.ndarray:
+    """Sum of squared synthesis windows per output sample (reference
+    stft.py:42-91 ``window_sumsquare``), used to undo overlap-add gain."""
+    w2 = _hann_window(win_length, n_fft).astype(np.float64) ** 2
+    out = np.zeros(n_fft + hop * (n_frames - 1), np.float64)
+    for f in range(n_frames):
+        out[f * hop:f * hop + n_fft] += w2
+    return out.astype(np.float32)
+
+
+def istft(spec: jnp.ndarray, n_fft: int, hop: int, win_length: int,
+          length: int | None = None, center: bool = True) -> jnp.ndarray:
+    """Inverse STFT with window-sumsquare correction.
+
+    spec: complex (..., n_freqs, n_frames) from :func:`stft`. Equivalent to
+    the reference's transposed-conv inverse (reference stft.py:147-178):
+    irfft each frame, re-window, overlap-add, divide by the summed squared
+    window, trim the center padding. ``istft(stft(x)) == x`` up to fp error.
+    """
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    win = jnp.asarray(_hann_window(win_length, n_fft))
+    frames = frames * win
+    n_frames = frames.shape[-2]
+    out_len = n_fft + hop * (n_frames - 1)
+    idx = (hop * np.arange(n_frames)[:, None] + np.arange(n_fft)).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (-1,))
+    sig = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
+    sig = sig.at[..., idx].add(flat)
+    wss = _window_sumsquare(win_length, n_fft, hop, n_frames)
+    sig = sig / jnp.asarray(np.where(wss > 1e-11, wss, 1.0))
+    if center:
+        sig = sig[..., n_fft // 2: sig.shape[-1] - n_fft // 2]
+    if length is not None:
+        sig = sig[..., :length]
+    return sig
+
+
 # ---------------------------------------------------------------------------
 # The two pipelines
 # ---------------------------------------------------------------------------

@@ -149,15 +149,34 @@ def save_latents(path: str, auto, diffusion=None) -> None:
 
 def load_voice(voice: str, extra_voice_dirs: list[str] = []):
     """-> (clips, latents): clips is a list of (1, T) arrays @22.05 kHz, or
-    latents is an (auto, diffusion) tuple (reference audio.py:104-124)."""
+    latents is an (auto, diffusion) tuple (reference audio.py:104-124).
+
+    First load of a clip-only voice caches the decoded/resampled clips as
+    ``<voice>.clips.npz`` next to them (the reference writes ``<voice>.pth``,
+    audio.py:120-122); later loads skip the decode+resample work. Write
+    failures (read-only voice dirs) are ignored.
+    """
     if voice == "random":
         return None, None
     paths = get_voices(extra_voice_dirs)[voice]
-    latent_files = [p for p in paths if p.endswith((".npz", ".pth"))]
+    clip_caches = [p for p in paths if p.endswith(".clips.npz")]
+    latent_files = [p for p in paths
+                    if p.endswith((".npz", ".pth")) and not p.endswith(".clips.npz")]
     audio_files = [p for p in paths if p.endswith((".wav", ".mp3"))]
     if latent_files and not audio_files:
         return None, _load_latents_file(latent_files[0])
-    return [load_audio(p, 22050) for p in audio_files], None
+    if clip_caches:
+        z = np.load(clip_caches[0])
+        return [z[k] for k in sorted(z.files)], None
+    clips = [load_audio(p, 22050) for p in audio_files]
+    # never cache into the read-only reference voice library
+    if clips and not audio_files[0].startswith(REFERENCE_VOICES_DIR):
+        cache = os.path.join(os.path.dirname(audio_files[0]), f"{voice}.clips.npz")
+        try:
+            np.savez(cache, **{f"clip_{i:03d}": c for i, c in enumerate(clips)})
+        except OSError:
+            pass
+    return clips, None
 
 
 def load_voices(voices: list[str], extra_voice_dirs: list[str] = []):
