@@ -101,6 +101,31 @@ def test_stream_emits_tail_on_segment_boundary(tts):
         assert sum(len(c) for c in chunks) > 0
 
 
+def test_fused_finish_matches_staged_path(tts):
+    """tts() fuses relatent+trim+edge-pad+decode on device; its output must
+    equal the staged host-side path on the valid region."""
+    import jax
+    from tortoise_tpu.models.ar_sampler import SamplerSettings, sample_speech
+
+    text = "Fused finish equality check."
+    seed, text_tokens, cond = tts._prepare(text, None, None, 77)
+    settings = SamplerSettings(max_generate=24)
+    codes, _ = sample_speech(tts.autoregressive, tts.ar_vars,
+                             jnp.asarray(cond), jnp.asarray(text_tokens),
+                             jax.random.PRNGKey(seed), 1, settings=settings)
+    # staged
+    latents = tts._relatent(jnp.asarray(cond), jnp.asarray(text_tokens), codes)
+    n = tts._trim_codes(np.asarray(codes)[0])
+    staged = tts._decode_bucketed(np.asarray(latents)[:, :n].astype(np.float32),
+                                  n, cond)
+    # fused
+    wav_d, n_d, out_d = tts._finish_wav(jnp.asarray(cond),
+                                        jnp.asarray(text_tokens), codes)
+    assert int(n_d) == n and int(out_d) == _expected_samples(n)
+    fused = np.asarray(wav_d)[:, :int(out_d), 0][:, None, :]
+    np.testing.assert_array_equal(fused, staged)
+
+
 def test_bucketed_hifi_decode_matches_exact(tts):
     """The masked+edge-padded bucketed decode equals an unpadded decode."""
     rng = np.random.default_rng(5)

@@ -132,9 +132,36 @@ class TextToSpeechFast:
             return self.hifi_decoder.apply(v, latents, cond, valid_frames,
                                            method=HifiganGenerator.inference)
 
+        @jax.jit
+        def _finish_wav(v_ar, v_hifi, cond, text, codes):
+            """Sampled codes -> (wav, n, out_samples) entirely on device:
+            teacher-forced latent re-extraction, stop-token trim, edge-pad to
+            a static bucket (clamped gather == np.pad mode="edge"), masked
+            HiFi decode. One dispatch chain and a single wav d2h — on a
+            tunneled/remote device the host round-trips between these stages
+            otherwise dominate the fast path (~40% of wall at 200 tokens)."""
+            lat = self.autoregressive.apply(
+                v_ar, cond, text, codes,
+                jnp.full((codes.shape[0],), codes.shape[1] * cfgd.mel_length_compression),
+                return_latent=True)
+            m = codes.shape[1]
+            hit = codes[0] == cfgd.stop_mel_token
+            n = jnp.where(hit.any(), jnp.argmax(hit) + 1, m).astype(jnp.int32)
+            lbk = self.latent_bucket
+            l_static = -(-m // lbk) * lbk if lbk else m
+            idx = jnp.minimum(jnp.arange(l_static), n - 1)
+            lat_e = jnp.take(lat.astype(jnp.float32), idx, axis=1)
+            # == _expected_samples(n): floor(floor(n*1024/256) * 24000/22050) * 256
+            out_samples = (4 * n * 24000) // 22050 * 256
+            wav = self.hifi_decoder.apply(v_hifi, lat_e, cond, out_samples // 256,
+                                          method=HifiganGenerator.inference)
+            return wav, n, out_samples
+
         self._conditioning = functools.partial(_conditioning, self.ar_vars)
         self._relatent = functools.partial(_relatent, self.ar_vars)
         self._decode_wav = functools.partial(_decode_wav, self.hifi_vars)
+        self._finish_wav = functools.partial(_finish_wav, self.ar_vars,
+                                             self.hifi_vars)
 
     # ------------------------------------------------------------------
     def get_conditioning_latents(self, voice_samples) -> np.ndarray:
@@ -145,6 +172,10 @@ class TextToSpeechFast:
         return np.asarray(self._conditioning(jnp.asarray(conds)))
 
     def get_random_conditioning_latents(self, seed: int = 0) -> np.ndarray:
+        return np.asarray(self._random_cond_device(seed))
+
+    def _random_cond_device(self, seed: int):
+        """Random-voice latent, left on device (no host round-trip)."""
         if self.rlg_auto is None:
             self.rlg_auto = RandomLatentConverter(self.autoregressive.config.model_dim)
             params, _ = weights_lib.get_params(
@@ -153,8 +184,8 @@ class TextToSpeechFast:
                                            jnp.zeros((1, self.autoregressive.config.model_dim)))["params"],
                 self._models_dir, allow_random=self._allow_random)
             self._rlg_vars = {"params": params}
-        return np.asarray(sample_random_latent(self.rlg_auto, self._rlg_vars,
-                                               jax.random.PRNGKey(seed)))
+        return sample_random_latent(self.rlg_auto, self._rlg_vars,
+                                    jax.random.PRNGKey(seed))
 
     # ------------------------------------------------------------------
     def _prepare(self, text, voice_samples, conditioning_latents, seed):
@@ -182,7 +213,7 @@ class TextToSpeechFast:
             if cond.ndim == 1:
                 cond = cond[None]
         else:
-            cond = self.get_random_conditioning_latents(det_seed)
+            cond = self._random_cond_device(det_seed)  # stays on device
         return det_seed, text_tokens, cond
 
     def _clamp_mel_tokens(self, max_mel_tokens: int) -> int:
@@ -235,13 +266,13 @@ class TextToSpeechFast:
         codes, _ = sample_speech(self.autoregressive, self.ar_vars,
                                  jnp.asarray(cond), jnp.asarray(text_tokens),
                                  rng, num_samples=1, settings=settings)
-        # Teacher-forced latent re-extraction at static shape, sliced to the
-        # natural length host-side (reference api_fast.py:500-503).
-        latents = self._relatent(jnp.asarray(cond), jnp.asarray(text_tokens), codes)
-        n = self._trim_codes(np.asarray(codes)[0])
-        lat = np.asarray(latents)[:, :n].astype(np.float32)
-
-        wav = self._decode_bucketed(lat, n, cond)
+        # Teacher-forced latent re-extraction (reference api_fast.py:500-503)
+        # + trim + decode fused on device; the valid region is bitwise equal
+        # to the staged host-side path (_relatent/_trim_codes/_decode_bucketed).
+        wav_d, _, out_d = self._finish_wav(jnp.asarray(cond),
+                                           jnp.asarray(text_tokens), codes)
+        out_samples = int(out_d)
+        wav = np.asarray(wav_d)[:, :out_samples, 0][:, None, :]
 
         if return_deterministic_state:
             return wav, (det_seed, text, voice_samples, conditioning_latents)
