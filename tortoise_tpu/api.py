@@ -363,9 +363,11 @@ class TextToSpeech:
         n_bucket = -(-n // self.LATENT_BUCKET) * self.LATENT_BUCKET
         out_len = n * 4 * 24000 // 22050
         out_bucket = n_bucket * 4 * 24000 // 22050
-        lat_padded = np.pad(np.asarray(latents), ((0, 0), (0, n_bucket - n), (0, 0)))
+        # device-side pad: latents may already live on device (tts keeps the
+        # re-extracted latents there to avoid a host round-trip)
+        lat_padded = jnp.pad(jnp.asarray(latents), ((0, 0), (0, n_bucket - n), (0, 0)))
         pre = self._timestep_independent_bucketed(
-            jnp.asarray(lat_padded), jnp.asarray(n),
+            lat_padded, jnp.asarray(n),
             jnp.asarray(diffusion_conditioning), jnp.asarray(out_len), out_bucket)
         if cond_free:
             uncond = jnp.broadcast_to(
@@ -489,12 +491,13 @@ class TextToSpeech:
         best_idx = np.argsort(clip_results)[::-1][:k]
         best_results = fixed[best_idx]  # (k, max_mel_tokens)
 
-        # 3) latent re-extraction for the winners -------------------------
+        # 3) latent re-extraction for the winners (kept on device: diffusion
+        # consumes them there; no host round-trip) ------------------------
         with timer.stage("latent_reextraction"):
-            best_latents = np.asarray(self._relatent(
+            best_latents = self._relatent(
                 jnp.asarray(np.repeat(auto_conditioning, k, axis=0)),
                 jnp.asarray(np.repeat(text_tokens, k, axis=0)),
-                jnp.asarray(best_results)))
+                jnp.asarray(best_results))
 
         # 4) per-candidate diffusion + vocoding ---------------------------
         if verbose:
@@ -503,7 +506,7 @@ class TextToSpeech:
         for b in range(best_results.shape[0]):
             codes_b = best_results[b]
             n = calm_token_trim_length(codes_b)
-            latents = best_latents[b:b + 1, :n].astype(np.float32)
+            latents = best_latents[b:b + 1, :n].astype(jnp.float32)
             rng, r1, r2 = jax.random.split(rng, 3)
             with timer.stage("diffusion"):
                 mel = self.do_spectrogram_diffusion(
