@@ -123,6 +123,24 @@ def test_greedy_batch_consistent(models):
     assert (codes == codes[0]).all()
 
 
+def test_emit_latents_flag_leaves_codes_bitwise_identical(models):
+    _, ours, variables = models
+    rng = np.random.default_rng(12)
+    cond = rng.standard_normal((1, DIM)).astype(np.float32)
+    text = np.pad(rng.integers(3, 250, (1, 8)).astype(np.int32), ((0, 0), (0, 1)))
+    base = dict(do_sample=True, max_generate=24, temperature=1.2)
+    out = {}
+    for emit in (True, False):
+        settings = SamplerSettings(emit_latents=emit, **base)
+        codes, lats = sample_speech(ours, variables, jnp.asarray(cond),
+                                    jnp.asarray(text), jax.random.PRNGKey(5),
+                                    num_samples=2, settings=settings,
+                                    cache_dtype=jnp.float32)
+        out[emit] = np.asarray(codes)
+        assert (lats is None) == (not emit)
+    np.testing.assert_array_equal(out[True], out[False])
+
+
 def test_sampling_respects_stop_latching(models):
     _, ours, variables = models
     rng = np.random.default_rng(9)

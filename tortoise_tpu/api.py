@@ -448,7 +448,8 @@ class TextToSpeech:
         settings = SamplerSettings(temperature=temperature, top_k=50, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
                                    typical_mass=typical_mass if typical_sampling else None,
-                                   max_generate=max_mel_tokens)
+                                   max_generate=max_mel_tokens,
+                                   emit_latents=False)  # winners re-extracted
         num_batches = max(1, num_autoregressive_samples // self.autoregressive_batch_size)
         bs = min(num_autoregressive_samples, self.autoregressive_batch_size)
         samples = []

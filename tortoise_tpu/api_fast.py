@@ -261,7 +261,8 @@ class TextToSpeechFast:
         max_mel_tokens = self._clamp_mel_tokens(max_mel_tokens)
         settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
-                                   max_generate=max_mel_tokens)
+                                   max_generate=max_mel_tokens,
+                                   emit_latents=False)  # _finish_wav re-extracts
         rng = jax.random.PRNGKey(det_seed)
         codes, _ = sample_speech(self.autoregressive, self.ar_vars,
                                  jnp.asarray(cond), jnp.asarray(text_tokens),
@@ -321,7 +322,8 @@ class TextToSpeechFast:
         settings = SamplerSettings(temperature=temperature, top_k=top_k,
                                    top_p=top_p,
                                    repetition_penalty=repetition_penalty,
-                                   max_generate=max_mel_tokens)
+                                   max_generate=max_mel_tokens,
+                                   emit_latents=False)  # batch re-extracts
         codes, _ = sample_speech(self.autoregressive, self.ar_vars,
                                  jnp.asarray(cond), jnp.asarray(toks),
                                  jax.random.PRNGKey(det_seed), num_samples=n,

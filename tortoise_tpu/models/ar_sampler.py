@@ -45,6 +45,10 @@ class SamplerSettings:
     typical_mass: float | None = None
     max_generate: int = 500
     do_sample: bool = True
+    # static: skip the per-step latent head + output buffer when the caller
+    # only needs codes (the quality path re-extracts latents teacher-forced
+    # for the CLVP winners anyway) — identical token stream, leaner step
+    emit_latents: bool = True
 
 
 def _warp_and_sample(settings: SamplerSettings, logits, seen, step_rng):
@@ -84,8 +88,12 @@ def _step(model, variables, settings: SamplerSettings, carry, _):
     tok = jnp.where(finished, cfg.stop_mel_token, tok)
     finished = finished | (tok == cfg.stop_mel_token)
     seen = seen.at[jnp.arange(seen.shape[0]), tok].set(True)
-    latent = model.apply(variables, h, method=UnifiedVoice.hidden_to_latent)
-    return (cache, tok, seen, finished, rng, s + 1, pos + 1), (tok, latent)
+    if settings.emit_latents:
+        latent = model.apply(variables, h, method=UnifiedVoice.hidden_to_latent)
+        ys = (tok, latent)
+    else:
+        ys = (tok,)
+    return (cache, tok, seen, finished, rng, s + 1, pos + 1), ys
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
@@ -123,8 +131,12 @@ def _prefill(model, variables, prompt, rng, settings: SamplerSettings, cache_dty
 def _segment(model, variables, carry, settings: SamplerSettings, seg_len: int):
     """Scan ``seg_len`` decode steps from ``carry``."""
     step = functools.partial(_step, model, variables, settings)
-    carry, (toks, latents) = jax.lax.scan(step, carry, None, length=seg_len)
-    return carry, jnp.swapaxes(toks, 0, 1), jnp.swapaxes(latents, 0, 1)
+    carry, ys = jax.lax.scan(step, carry, None, length=seg_len)
+    if settings.emit_latents:
+        toks, latents = ys
+        return carry, jnp.swapaxes(toks, 0, 1), jnp.swapaxes(latents, 0, 1)
+    (toks,) = ys
+    return carry, jnp.swapaxes(toks, 0, 1), None
 
 
 def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray,
@@ -175,7 +187,9 @@ def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtyp
                                                 settings, cache_dtype)
     toks_buf = jnp.full((b, max_gen), cfg.stop_mel_token, jnp.int32)
     toks_buf = toks_buf.at[:, 0].set(tok0)
-    lats_buf = jnp.zeros((b, max_gen, d), jnp.float32).at[:, 0].set(latent0)
+    emit = settings.emit_latents
+    lats_buf = (jnp.zeros((b, max_gen, d), jnp.float32).at[:, 0].set(latent0)
+                if emit else jnp.zeros((), jnp.float32))
 
     def cond(state):
         carry, _, _ = state
@@ -185,16 +199,17 @@ def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtyp
 
     def body(state):
         carry, toks_buf, lats_buf = state
-        carry, (tok, lat) = _step(model, variables, settings, carry, None)
+        carry, ys = _step(model, variables, settings, carry, None)
         s = carry[5]  # tok sits at sequence index s (post-increment)
-        toks_buf = jax.lax.dynamic_update_slice(toks_buf, tok[:, None], (0, s))
-        lats_buf = jax.lax.dynamic_update_slice(
-            lats_buf, lat[:, None].astype(lats_buf.dtype), (0, s, 0))
+        toks_buf = jax.lax.dynamic_update_slice(toks_buf, ys[0][:, None], (0, s))
+        if emit:
+            lats_buf = jax.lax.dynamic_update_slice(
+                lats_buf, ys[1][:, None].astype(lats_buf.dtype), (0, s, 0))
         return carry, toks_buf, lats_buf
 
     _, toks_buf, lats_buf = jax.lax.while_loop(cond, body,
                                                (carry, toks_buf, lats_buf))
-    return toks_buf, lats_buf
+    return toks_buf, (lats_buf if emit else None)
 
 
 def stream_speech(model: UnifiedVoice, variables: dict, cond_latent, text_tokens,
