@@ -76,7 +76,7 @@ def main():
         tts = _Src()
     elif args.smoke:
         cfg = UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
-                                 max_text_tokens=60, max_mel_tokens=80)
+                                 max_text_tokens=120, max_mel_tokens=80)
         tokens = 32
         tts = TextToSpeechFast(dtype=jnp.float32, ar_config=cfg, latent_bucket=16)
     else:
