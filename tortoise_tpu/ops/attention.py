@@ -60,5 +60,10 @@ def chunked_decode_attention_layered(q: jnp.ndarray, ck: jnp.ndarray,
     init = (jnp.full((b, h, 1), NEG_INF, jnp.float32),
             jnp.zeros((b, h, 1), jnp.float32),
             jnp.zeros((b, h, 1, d), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
+    if t_max <= chunk:
+        # the whole cache is one chunk: run the body once statically — the
+        # while-loop trip costs ~30µs/layer/step on v5e, pure overhead here
+        m, l, acc = body(0, init)
+    else:
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
     return (acc / l[..., None]).astype(q.dtype)
