@@ -436,3 +436,9 @@ def handle_chunks(wav_gen: np.ndarray, wav_gen_prev, wav_overlap, overlap_len: i
     wav_overlap = wav_gen[-overlap_len:]
     wav_gen_prev = wav_gen
     return wav_chunk, wav_gen_prev, wav_overlap
+
+
+# Drop-in name parity: the reference's fast API also calls its class
+# TextToSpeech (reference api_fast.py:173), so
+# ``from tortoise_tpu.api_fast import TextToSpeech`` works unchanged.
+TextToSpeech = TextToSpeechFast
