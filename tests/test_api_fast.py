@@ -34,16 +34,92 @@ def test_tts_shapes_and_determinism(tts):
 
 
 def test_tts_stream_concatenates_to_full_clip(tts):
-    chunks = list(tts.tts_stream("Another streaming test sentence.",
-                                 use_deterministic_seed=7, max_mel_tokens=48,
-                                 stream_chunk_size=8, verbose=False))
-    assert len(chunks) >= 1
+    """Streamed chunks are exact adjacent slices of the full decode of the
+    same latents: concatenating them reproduces the whole clip (content, not
+    just length)."""
+    import jax
+
+    from tortoise_tpu.models.ar_sampler import SamplerSettings, stream_speech
+
+    text = "Another streaming test sentence."
+    chunks = list(tts.tts_stream(text, use_deterministic_seed=7,
+                                 max_mel_tokens=48, stream_chunk_size=8,
+                                 verbose=False))
+    assert len(chunks) > 1
     total = np.concatenate(chunks)
     assert np.isfinite(total).all()
-    # stream covers (nearly) the full clip: the final overlap tail is retained
-    wav = tts.tts("Another streaming test sentence.", use_deterministic_seed=7,
-                  max_mel_tokens=48, verbose=False)
-    assert abs(total.shape[0] - wav.shape[2]) <= 1024
+
+    # reproduce the stream's latents (deterministic PRNG) and full-decode them
+    seed, text_tokens, cond = tts._prepare(text, None, None, 7)
+    assert seed == 7
+    settings = SamplerSettings(max_generate=48)
+    codes = latents = None
+    for codes, latents in stream_speech(tts.autoregressive, tts.ar_vars,
+                                        jnp.asarray(cond), jnp.asarray(text_tokens),
+                                        jax.random.PRNGKey(seed), settings=settings,
+                                        seg_len=8, first_seg_len=8):
+        pass
+    n = tts._trim_codes(codes[0])
+    full = tts._decode_bucketed(latents[:, :n].astype(np.float32), n, cond)[0, 0]
+    assert total.shape[0] == full.shape[0]
+    np.testing.assert_allclose(total, full, atol=2e-5)
+
+
+def test_tts_stream_fixed_compiled_shapes(tts):
+    """Per-chunk decode cost is O(chunk): every window decode uses the same
+    input shapes regardless of how long the clip has grown."""
+    shapes = []
+    orig = tts._decode_window
+
+    def spy(lat_win, cond, *rest):
+        shapes.append(lat_win.shape)
+        return orig(lat_win, cond, *rest)
+
+    tts._decode_window = spy
+    try:
+        chunks = list(tts.tts_stream("Fixed shape check for streaming.",
+                                     use_deterministic_seed=3, max_mel_tokens=64,
+                                     stream_chunk_size=8, verbose=False))
+    finally:
+        tts._decode_window = orig
+    assert len(chunks) >= 1 and len(shapes) >= 1
+    assert len(set(shapes)) == 1  # one compiled program serves the stream
+
+
+def test_hifi_inference_window_matches_full_decode(tts):
+    """inference_window == the same u-frame slice of a full inference() run,
+    for interior windows (halo covers the conv receptive field) and for
+    start/end windows (edge clamps match)."""
+    from tortoise_tpu.api_fast import _HALO_U, _U_LEN, _u_frames
+
+    rng = np.random.default_rng(9)
+    n = 90
+    lat = rng.standard_normal((1, n, 128)).astype(np.float32)
+    cond = rng.standard_normal((1, 128)).astype(np.float32)
+    u_total = _u_frames(n)
+    full = np.asarray(tts.hifi_decoder.apply(
+        tts.hifi_vars, jnp.asarray(lat), jnp.asarray(cond),
+        method=tts.hifi_decoder.inference))[0, :, 0]
+
+    for u_start in (0, 37, u_total - _U_LEN):  # start / interior / end
+        lat_hi = min(n, (u_start + _U_LEN) * 147 // 640 + 3)
+        lat_off = max(0, lat_hi - 64)
+        lat_win = np.pad(lat[:, lat_off:lat_off + 64],
+                         ((0, 0), (0, max(0, 64 - (n - lat_off))), (0, 0)))
+        valid_u = min(_U_LEN, max(0, u_total - u_start))
+        wav = np.asarray(tts.hifi_decoder.apply(
+            tts.hifi_vars, jnp.asarray(lat_win), jnp.asarray(cond),
+            jnp.asarray(lat_off), jnp.asarray(n), jnp.asarray(u_start),
+            _U_LEN, jnp.asarray(valid_u),
+            method=tts.hifi_decoder.inference_window))[0, :, 0]
+        # emitted region: skip the halo on any side that isn't the clip edge
+        # (the conv stack lacks context there; the stream never emits it)
+        lo_u = 0 if u_start == 0 else _HALO_U
+        hi_u = valid_u if u_start + _U_LEN >= u_total else valid_u - _HALO_U
+        got = wav[lo_u * 256:hi_u * 256]
+        want = full[(u_start + lo_u) * 256:(u_start + hi_u) * 256]
+        np.testing.assert_allclose(got, want, atol=1e-6,
+                                   err_msg=f"u_start={u_start}")
 
 
 def test_expected_samples_matches_interp_chain():

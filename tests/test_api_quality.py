@@ -89,3 +89,18 @@ def test_random_voice_latents(tts):
     assert a.shape == (1, 128) and d.shape == (1, 256)
     a2, _ = tts.get_random_conditioning_latents(seed=4)
     np.testing.assert_array_equal(a, a2)
+
+
+def test_cvvp_only_without_mels_raises(tts):
+    with pytest.raises(ValueError, match="cvvp_amount=1"):
+        tts.tts("Short.", cvvp_amount=1.0, num_autoregressive_samples=2,
+                diffusion_iterations=2, max_mel_tokens=24,
+                use_deterministic_seed=5, verbose=False)
+
+
+def test_indivisible_candidate_count_warns(tts):
+    with pytest.warns(UserWarning, match="not divisible"):
+        wav = tts.tts("Short.", num_autoregressive_samples=3,  # batch size 2
+                      diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
+                      use_deterministic_seed=7, verbose=False)
+    assert np.isfinite(wav).all()

@@ -18,6 +18,7 @@ TPU-native equivalent of the reference orchestrator
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -452,6 +453,14 @@ class TextToSpeech:
                                    emit_latents=False)  # winners re-extracted
         num_batches = max(1, num_autoregressive_samples // self.autoregressive_batch_size)
         bs = min(num_autoregressive_samples, self.autoregressive_batch_size)
+        if num_batches * bs != num_autoregressive_samples:
+            # Reference parity quirk (reference: tortoise/api.py:407 floors the
+            # batch count the same way) — but silently sampling fewer
+            # candidates than asked is surprising, so say so.
+            warnings.warn(
+                f"num_autoregressive_samples={num_autoregressive_samples} is not "
+                f"divisible by autoregressive_batch_size={self.autoregressive_batch_size}; "
+                f"sampling {num_batches * bs} candidates instead.", stacklevel=2)
         samples = []
         with timer.stage("autoregressive"):
             for _ in range(num_batches):
@@ -471,6 +480,14 @@ class TextToSpeech:
                                                f"CVVP {cvvp_amount * 100:2.0f}%"))
         fixed = np.stack([fix_autoregressive_output(s, stop_token, complain=verbose)
                           for s in samples])
+        if cvvp_amount == 1 and auto_conds is None:
+            # The reference raises NameError here (tortoise/api.py:474-491
+            # leaves clvp_scores unbound); fail with an actionable message.
+            raise ValueError(
+                "cvvp_amount=1 requires conditioning mels (pass voice_samples, "
+                "not precomputed latents): CVVP scores candidates against the "
+                "reference clips, and with cvvp_amount=1 there is no CLVP "
+                "score to fall back on.")
         if cvvp_amount != 1:
             with timer.stage("clvp_rerank"):
                 # CLVP mean-pools over the whole text: feed it the reference's

@@ -40,6 +40,22 @@ from tortoise_tpu.utils.tokenizer import VoiceBpeTokenizer
 
 MEL_NORMS_FILE = mel_ops.DEFAULT_MEL_NORMS_FILE
 
+# Streaming window geometry (one compiled decoder shape for the whole stream).
+# A "u-frame" is one frame of the post-interpolation grid fed to the HiFi-GAN
+# conv stack = 256 output samples (~10.7 ms at 24 kHz).
+_U_LEN = 256   # u-frames decoded per window
+_W_LAT = 64    # latent frames fed per window (covers U_LEN*147/640 + edges)
+_HALO_U = 32   # left context kept, not emitted: conv receptive field (~15) + margin
+_TAIL_U = 32   # right stability margin: samples within RF of the decode
+               # frontier change when more tokens arrive, so emit them later
+
+
+def _u_frames(n_latents: int) -> int:
+    """u-frames produced by n latent frames: floor(floor(n*4) * 24000/22050).
+    Integer form of the two-stage interpolation length chain;
+    _expected_samples(n) == _u_frames(n) * 256."""
+    return (4 * n_latents * 24000) // 22050
+
 
 def deterministic_state(seed=None) -> int:
     """Seed host-side randomness; returns the seed for reproduction
@@ -133,6 +149,17 @@ class TextToSpeechFast:
                                            method=HifiganGenerator.inference)
 
         @jax.jit
+        def _decode_window(v, lat_win, cond, lat_off, n_valid, u_start, valid_u):
+            """Streaming window decode: u-frames [u_start, u_start+_U_LEN) of
+            the conceptual full decode of the first ``n_valid`` latent frames,
+            computed from the ``_W_LAT``-frame latent window at ``lat_off``.
+            All offsets are traced scalars, so one compiled program serves the
+            entire stream regardless of clip length."""
+            return self.hifi_decoder.apply(
+                v, lat_win, cond, lat_off, n_valid, u_start, _U_LEN, valid_u,
+                method=HifiganGenerator.inference_window)
+
+        @jax.jit
         def _finish_wav(v_ar, v_hifi, cond, text, codes):
             """Sampled codes -> (wav, n, out_samples) entirely on device:
             teacher-forced latent re-extraction, stop-token trim, edge-pad to
@@ -160,6 +187,7 @@ class TextToSpeechFast:
         self._conditioning = functools.partial(_conditioning, self.ar_vars)
         self._relatent = functools.partial(_relatent, self.ar_vars)
         self._decode_wav = functools.partial(_decode_wav, self.hifi_vars)
+        self._decode_window = functools.partial(_decode_window, self.hifi_vars)
         self._finish_wav = functools.partial(_finish_wav, self.ar_vars,
                                              self.hifi_vars)
 
@@ -342,15 +370,26 @@ class TextToSpeechFast:
     # ------------------------------------------------------------------
     def tts_stream(self, text, voice_samples=None, conditioning_latents=None,
                    verbose=True, use_deterministic_seed=None, stream_chunk_size=40,
-                   overlap_wav_len=1024, temperature=0.8, repetition_penalty=2.0,
-                   top_p=0.8, top_k=50, max_mel_tokens=500,
+                   first_chunk_size=16, overlap_wav_len=1024, temperature=0.8,
+                   repetition_penalty=2.0, top_p=0.8, top_k=50, max_mel_tokens=500,
                    **unused_kwargs) -> Iterator[np.ndarray]:
         """Chunked streaming synthesis (reference api_fast.py:311-420).
 
-        The AR decode runs ahead as one compiled program; audio is emitted in
-        ``stream_chunk_size``-token chunks with ``overlap_wav_len``-sample
-        linear crossfade (handle_chunks, reference api_fast.py:285-308).
+        Truly incremental: the AR decode runs ahead in compiled segments
+        (``first_chunk_size`` tokens, then ``stream_chunk_size``-token
+        segments), and each audio chunk is decoded from a FIXED-size latent
+        window (``inference_window``), so per-chunk cost is O(chunk) — unlike
+        the reference, which re-decodes the entire accumulated latent prefix
+        every chunk (O(n^2) in clip length, reference api_fast.py:400-420).
+
+        Because the windowed decode computes global interpolation indices and
+        keeps a halo larger than the conv stack's receptive field, emitted
+        chunks are exact adjacent slices of the full decode — concatenating
+        them reproduces ``tts()``'s waveform (up to f32 rounding), and no
+        crossfade is needed (``overlap_wav_len`` is accepted for reference
+        API compatibility but unused).
         """
+        del overlap_wav_len  # exact-slice emission needs no crossfade
         from tortoise_tpu.models.ar_sampler import stream_speech
 
         det_seed, text_tokens, cond = self._prepare(
@@ -359,47 +398,50 @@ class TextToSpeechFast:
         settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
                                    max_generate=max_mel_tokens)
+        cond_j = jnp.asarray(cond)
 
-        # True incremental decode: the AR scan runs in fixed-size segments and
-        # audio is emitted as soon as the first buffer of latents exists —
-        # this bounds first-audio latency by prefill + one segment + one
-        # decoder call (the reference's first chunk waits for 60 tokens too,
-        # api_fast.py:400-411, but decodes the full history each time).
-        first_buffer = 60
-        wav_gen_prev, wav_overlap = None, None
-        emitted_upto = 0
-        last = None
+        u_emit = 0  # emission frontier, in u-frames
 
-        def emit(upto, latents):
-            nonlocal wav_gen_prev, wav_overlap, emitted_upto, first_buffer
-            first_buffer = 0
-            emitted_upto = upto
-            wav_gen = self._decode_bucketed(latents[:, :upto].astype(np.float32),
-                                            upto, cond)[0, 0]
-            chunk, wav_gen_prev, wav_overlap = handle_chunks(
-                wav_gen, wav_gen_prev, wav_overlap, overlap_wav_len)
-            return chunk
+        def emit_windows(latents, n, target_u):
+            """Advance the emission frontier to ``target_u`` using fixed-shape
+            window decodes; yields exact waveform slices [u_emit, target_u)."""
+            nonlocal u_emit
+            u_valid = _u_frames(n)  # decode frontier: frames past it masked
+            while u_emit < target_u:
+                emit_to = min(target_u, u_emit + (_U_LEN - _HALO_U))
+                u_start = max(0, emit_to - _U_LEN)
+                # latent frames the window's interpolation gathers reach
+                lat_hi = min(n, (u_start + _U_LEN) * 147 // 640 + 3)
+                lat_off = max(0, lat_hi - _W_LAT)
+                lat_win = latents[:, lat_off:lat_off + _W_LAT]
+                if lat_win.shape[1] < _W_LAT:  # early clip: pad (never gathered)
+                    lat_win = np.pad(lat_win,
+                                     ((0, 0), (0, _W_LAT - lat_win.shape[1]), (0, 0)))
+                wav = np.asarray(self._decode_window(
+                    jnp.asarray(lat_win), cond_j, jnp.asarray(lat_off),
+                    jnp.asarray(n), jnp.asarray(u_start),
+                    jnp.asarray(min(_U_LEN, max(0, u_valid - u_start)))))
+                chunk = wav[0, (u_emit - u_start) * 256:(emit_to - u_start) * 256, 0]
+                u_emit = emit_to
+                yield chunk
 
+        latents_f32, last_n = None, 0
         for codes, latents in stream_speech(
-                self.autoregressive, self.ar_vars, jnp.asarray(cond),
+                self.autoregressive, self.ar_vars, cond_j,
                 jnp.asarray(text_tokens), jax.random.PRNGKey(det_seed),
-                settings=settings, seg_len=stream_chunk_size):
-            last = (codes, latents)
-            n = self._trim_codes(codes[0])
-            if n < codes.shape[1]:  # stop token latched: final emit below
+                settings=settings, seg_len=stream_chunk_size,
+                first_seg_len=min(first_chunk_size, stream_chunk_size)):
+            last_n = self._trim_codes(codes[0])
+            latents_f32 = latents.astype(np.float32)
+            stopped = last_n < codes.shape[1]
+            if stopped:
                 break
-            ready = (n // stream_chunk_size) * stream_chunk_size
-            threshold = first_buffer if emitted_upto == 0 else \
-                emitted_upto + stream_chunk_size
-            if ready >= threshold:
-                yield emit(ready, latents)
-        # final flush: whatever the generator produced past the last emission
-        # (including the whole clip if it ended before the first buffer)
-        if last is not None:
-            codes, latents = last
-            n = self._trim_codes(codes[0])
-            if n > emitted_upto or emitted_upto == 0:
-                yield emit(n, latents)
+            # hold back the tail: those samples still change as tokens arrive
+            yield from emit_windows(latents_f32, last_n,
+                                    max(0, _u_frames(last_n) - _TAIL_U))
+        # final flush: stop token latched or max_generate reached
+        if latents_f32 is not None:
+            yield from emit_windows(latents_f32, last_n, _u_frames(last_n))
 
     def deterministic_state(self, seed=None):
         return deterministic_state(seed)

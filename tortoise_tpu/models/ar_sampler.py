@@ -214,11 +214,13 @@ def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtyp
 
 def stream_speech(model: UnifiedVoice, variables: dict, cond_latent, text_tokens,
                   rng, settings: SamplerSettings = SamplerSettings(),
-                  seg_len: int = 20, cache_dtype=jnp.bfloat16):
+                  seg_len: int = 20, cache_dtype=jnp.bfloat16,
+                  first_seg_len: int | None = None):
     """Incremental decode: yields (codes (1, n), latents (1, n, D)) numpy
     chunks as they are produced, stopping early once the stop token latches.
     First yield after prefill + one segment — this is what bounds first-audio
-    latency."""
+    latency, so ``first_seg_len`` (default ``seg_len``) can be set smaller to
+    get the first audio out sooner (costs one extra compiled segment shape)."""
     cfg = model.config
     prompt = _make_prompt(model, variables, cond_latent, text_tokens, 1)
     carry, tok0, latent0 = _prefill(model, variables, prompt, rng, settings,
@@ -227,8 +229,10 @@ def stream_speech(model: UnifiedVoice, variables: dict, cond_latent, text_tokens
     pending_lats = [np.asarray(latent0)[:, None]]
     produced = 1
     finished = bool(np.asarray(tok0)[0] == cfg.stop_mel_token)
+    next_seg = first_seg_len or seg_len
     while produced < settings.max_generate and not finished:
-        n = min(seg_len, settings.max_generate - produced)
+        n = min(next_seg, settings.max_generate - produced)
+        next_seg = seg_len
         carry, toks, latents = _segment(model, variables, carry, settings, n)
         toks = np.asarray(toks)
         pending_toks.append(toks)

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tortoise_tpu.ops.interpolate import linear_interpolate
+from tortoise_tpu.ops.interpolate import linear_interpolate, windowed_linear_gather
 
 LRELU_SLOPE = 0.1
 
@@ -186,3 +186,31 @@ class HifiganGenerator(nn.Module):
         up = linear_interpolate(c, 1024.0 / 256.0)
         up = linear_interpolate(up, 24000.0 / 22050.0)
         return self(up, g, valid_frames=valid_frames)
+
+    def inference_window(self, c_win, g, lat_offset, n_valid, u_start,
+                         u_len: int, valid_u=None):
+        """Windowed incremental decode for streaming: the slice
+        [u_start*256, (u_start+u_len)*256) of the waveform that
+        ``inference(c_full[:, :n_valid], g)`` would produce, computed from
+        only ``c_win`` — the latent frames starting at global ``lat_offset``.
+
+        The interpolation chain uses global index math (exact rational
+        source positions), so interior samples match the full decode; the
+        conv stack's receptive field (~15 u-frames per side for the shipping
+        config) means the first/last ~16 u-frames of the window differ —
+        callers keep a >=RF halo on each side of the region they emit.
+        ``valid_u`` (window-relative) masks u-frames at/after the decode
+        frontier, matching the full decode's right edge.
+
+        This replaces the reference's O(prefix) re-decode of the entire
+        accumulated latent each chunk (reference api_fast.py:400-420) with an
+        O(chunk) fixed-shape program.
+        """
+        # stage 1 (x4): mel-interp frames [4*lat_offset, 4*(lat_offset+W))
+        m_offset = 4 * lat_offset
+        mel_win = windowed_linear_gather(c_win, lat_offset, n_valid,
+                                         m_offset, 4 * c_win.shape[1], 1024, 256)
+        # stage 2 (x160/147): u-frames [u_start, u_start+u_len)
+        u = windowed_linear_gather(mel_win, m_offset, 4 * n_valid,
+                                   u_start, u_len, 24000, 22050)
+        return self(u, g, valid_frames=valid_u)

@@ -1,75 +1,110 @@
 """Sentence-aware text chunking for long-form synthesis.
 
-Behavioral equivalent of the reference splitter
-(reference: tortoise/utils/text.py:4-73): walk the text a character at a
-time tracking quote state, record sentence-boundary split points, emit chunks
-of roughly ``desired_length`` characters and force a split at ``max_length``
-— backtracking to the last sentence boundary, or to a word boundary if no
-sentence fits.
+Behavioral equivalent of the reference splitter (reference:
+tortoise/utils/text.py:4-73), held to spec by golden-output tests: emit
+chunks of roughly ``desired_length`` characters, breaking at sentence
+boundaries (quote-aware), force-splitting at ``max_length`` by backtracking
+to the last boundary or, failing that, to a word boundary.
+
+Design notes (intentional quirk preservation — the reference's behavior is
+the contract, verified by tests/test_text_and_tokenizer.py golden cases):
+
+* Lookahead cannot see the final character of the text (out-of-range
+  lookahead yields ``""``, and ``"" in "\\n "`` is True, so text-end acts
+  like a boundary).
+* Quote state is tracked by *toggling on every character the cursor steps
+  onto*, in either direction. Because a backward step toggles on the char
+  stepped onto (not the one stepped off), a rewind is not an exact inverse
+  of the forward walk; we replicate that arithmetic rather than using
+  positional parity.
 """
 from __future__ import annotations
 
 import re
 
+_SENTENCE_ENDERS = "!?\n"
+_BOUNDARY_TAIL = "\n "  # chars that may legally follow '.' or a closing quote
+_PUNCT_ONLY = re.compile(r"^[\s\.,;:!?]*$")
 
-def split_and_recombine_text(text: str, desired_length: int = 200, max_length: int = 300) -> list[str]:
+
+def _normalize(text: str) -> str:
     text = re.sub(r"\n\n+", "\n", text)
     text = re.sub(r"\s+", " ", text)
-    text = re.sub(r"[“”]", '"', text)
+    return re.sub(r"[“”]", '"', text)
+
+
+def split_and_recombine_text(
+    text: str, desired_length: int = 200, max_length: int = 300
+) -> list[str]:
+    text = _normalize(text)
+
+    last = len(text) - 1
+
+    def look(p: int) -> str:
+        # Reference quirk: the final character is invisible to lookahead.
+        return text[p] if 0 <= p < last else ""
 
     chunks: list[str] = []
-    in_quote = False
-    current = ""
-    split_pos: list[int] = []
-    pos = -1
-    end_pos = len(text) - 1
+    start = 0          # first index of the chunk being assembled
+    i = -1             # index of the last character consumed
+    boundaries: list[int] = []  # split candidates inside the current chunk
+    quoted = False
 
-    def seek(delta: int) -> str:
-        nonlocal pos, in_quote, current
-        step = -1 if delta < 0 else 1
-        for _ in range(abs(delta)):
-            if step < 0:
-                pos -= 1
-                current = current[:-1]
+    def emit(upto: int) -> int:
+        """Close the current chunk at index ``upto`` (inclusive)."""
+        nonlocal boundaries
+        chunks.append(text[start : upto + 1])
+        boundaries = []
+        return upto + 1
+
+    while i < last:
+        i += 1
+        if text[i] == '"':
+            quoted = not quoted
+        size = i - start + 1
+
+        if size >= max_length:
+            # Overlong chunk: cut at the best known sentence boundary if the
+            # kept part stays reasonably long; otherwise walk back to a word
+            # boundary (but never shrink below desired_length).
+            if boundaries and size > desired_length / 2:
+                cut = boundaries[-1]
+                for j in range(i - 1, cut - 1, -1):  # backward steps toggle
+                    if text[j] == '"':
+                        quoted = not quoted
+                i = cut
             else:
-                pos += 1
-                current += text[pos]
-            if text[pos] == '"':
-                in_quote = not in_quote
-        return text[pos]
+                while (
+                    text[i] not in "!?.\n "
+                    and i > 0
+                    and (i - start + 1) > desired_length
+                ):
+                    i -= 1
+                    if text[i] == '"':
+                        quoted = not quoted
+            start = emit(i)
+        elif not quoted and (
+            text[i] in _SENTENCE_ENDERS
+            or (text[i] == "." and look(i + 1) in _BOUNDARY_TAIL)
+        ):
+            # Absorb runs of terminal punctuation ("?!", "...") into the
+            # boundary before recording it.
+            while i < last and (i - start + 1) < max_length and look(i + 1) in "!?.":
+                i += 1
+                if text[i] == '"':
+                    quoted = not quoted
+            boundaries.append(i)
+            if i - start + 1 >= desired_length:
+                start = emit(i)
+        elif quoted and look(i + 1) == '"' and look(i + 2) in _BOUNDARY_TAIL:
+            # A sentence that ends at a closing quote: consume the quote and
+            # mark the boundary after it.
+            for _ in range(2):
+                i += 1
+                if text[i] == '"':
+                    quoted = not quoted
+            boundaries.append(i)
 
-    def peek(delta: int) -> str:
-        p = pos + delta
-        return text[p] if 0 <= p < end_pos else ""
+    chunks.append(text[start:])
 
-    def commit() -> None:
-        nonlocal current, split_pos
-        chunks.append(current)
-        current = ""
-        split_pos = []
-
-    while pos < end_pos:
-        c = seek(1)
-        if len(current) >= max_length:
-            # Force a split: prefer the last sentence boundary if the chunk is
-            # already reasonably long, else back up to a word boundary.
-            if split_pos and len(current) > (desired_length / 2):
-                seek(split_pos[-1] - pos)
-            else:
-                while c not in "!?.\n " and pos > 0 and len(current) > desired_length:
-                    c = seek(-1)
-            commit()
-        elif not in_quote and (c in "!?\n" or (c == "." and peek(1) in "\n ")):
-            # Swallow consecutive boundary markers (e.g. "?!?!", "...").
-            while pos < len(text) - 1 and len(current) < max_length and peek(1) in "!?.":
-                c = seek(1)
-            split_pos.append(pos)
-            if len(current) >= desired_length:
-                commit()
-        elif in_quote and peek(1) == '"' and peek(2) in "\n ":
-            seek(2)
-            split_pos.append(pos)
-    chunks.append(current)
-
-    chunks = [s.strip() for s in chunks]
-    return [s for s in chunks if s and not re.match(r"^[\s\.,;:!?]*$", s)]
+    return [c.strip() for c in chunks if c.strip() and not _PUNCT_ONLY.match(c)]
