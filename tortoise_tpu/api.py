@@ -144,7 +144,7 @@ class TextToSpeech:
         if enable_redaction:
             from tortoise_tpu.utils.wav2vec_alignment import Wav2VecAlignment
 
-            self.aligner = Wav2VecAlignment()
+            self.aligner = Wav2VecAlignment(models_dir=models_dir)
         self.tokenizer = VoiceBpeTokenizer(vocab_file=tokenizer_vocab_file,
                                            use_basic_cleaners=tokenizer_basic)
         self.mel_norms = mel_ops.load_mel_norms(MEL_NORMS_FILE)

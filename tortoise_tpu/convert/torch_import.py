@@ -395,3 +395,63 @@ def classifier_params(sd, depth: int = 5, resnet_blocks: int = 2,
     return {"enc": enc,
             "head": {"kernel": dense_kernel(sd["head.weight"]),
                      "bias": t2n(sd["head.bias"])}}
+
+
+def wav2vec2_params(sd, num_layers: int = 24, num_convs: int = 7) -> dict:
+    """HF Wav2Vec2ForCTC (stable-layer-norm, layer-norm-extractor variant —
+    the 'large-robust' architecture of the shipped aligner checkpoint,
+    reference wav2vec_alignment.py:48-57) -> models/wav2vec2 params."""
+    import jax
+
+    fe = {}
+    for i in range(num_convs):
+        cp = f"wav2vec2.feature_extractor.conv_layers.{i}"
+        fe[f"conv_{i}"] = {"kernel": conv1d_kernel(sd[f"{cp}.conv.weight"]),
+                           "bias": t2n(sd[f"{cp}.conv.bias"])}
+        fe[f"ln_{i}"] = _layernorm(sd, f"{cp}.layer_norm")
+
+    def layer(i):
+        lp = f"wav2vec2.encoder.layers.{i}"
+        qkv_w = np.concatenate([dense_kernel(sd[f"{lp}.attention.{m}_proj.weight"])
+                                for m in ("q", "k", "v")], axis=1)
+        qkv_b = np.concatenate([t2n(sd[f"{lp}.attention.{m}_proj.bias"])
+                                for m in ("q", "k", "v")])
+        return {
+            "ln_attn": _layernorm(sd, f"{lp}.layer_norm"),
+            "qkv": {"kernel": qkv_w, "bias": qkv_b},
+            "attn_out": {"kernel": dense_kernel(sd[f"{lp}.attention.out_proj.weight"]),
+                         "bias": t2n(sd[f"{lp}.attention.out_proj.bias"])},
+            "ln_ff": _layernorm(sd, f"{lp}.final_layer_norm"),
+            "ff_in": {"kernel": dense_kernel(
+                          sd[f"{lp}.feed_forward.intermediate_dense.weight"]),
+                      "bias": t2n(sd[f"{lp}.feed_forward.intermediate_dense.bias"])},
+            "ff_out": {"kernel": dense_kernel(
+                           sd[f"{lp}.feed_forward.output_dense.weight"]),
+                       "bias": t2n(sd[f"{lp}.feed_forward.output_dense.bias"])},
+        }
+
+    stacked = jax.tree.map(lambda *xs: np.stack(xs),
+                           *[layer(i) for i in range(num_layers)])
+
+    pc = "wav2vec2.encoder.pos_conv_embed.conv"
+    # HF wraps the positional conv in weight_norm with dim=2 (kernel axis)
+    if f"{pc}.weight_g" in sd:
+        w = fold_weight_norm(sd[f"{pc}.weight_g"], sd[f"{pc}.weight_v"], dim=2)
+    elif f"{pc}.parametrizations.weight.original0" in sd:  # torch>=2.1 naming
+        w = fold_weight_norm(sd[f"{pc}.parametrizations.weight.original0"],
+                             sd[f"{pc}.parametrizations.weight.original1"], dim=2)
+    else:
+        w = t2n(sd[f"{pc}.weight"])
+    return {
+        "feature_extractor": fe,
+        "proj_ln": _layernorm(sd, "wav2vec2.feature_projection.layer_norm"),
+        "proj": {"kernel": dense_kernel(
+                     sd["wav2vec2.feature_projection.projection.weight"]),
+                 "bias": t2n(sd["wav2vec2.feature_projection.projection.bias"])},
+        "pos_conv": {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+                     "bias": t2n(sd[f"{pc}.bias"])},
+        "layers": {"layer": stacked},
+        "encoder_ln": _layernorm(sd, "wav2vec2.encoder.layer_norm"),
+        "lm_head": {"kernel": dense_kernel(sd["lm_head.weight"]),
+                    "bias": t2n(sd["lm_head.bias"])},
+    }

@@ -5,11 +5,14 @@ Behavioral equivalent of the reference aligner
 alignment of the expected text against the CTC argmax string, used to cut
 ``[bracketed]`` prompt-engineering spans out of the audio.
 
-The DP (``max_alignment``) is reimplemented iteratively (the reference's
-recursive memoized version blows the Python stack on long texts) and the
-CTC acoustic model is pluggable: by default the HF torch checkpoint
-``jbetker/wav2vec2-large-robust-ft-libritts-voxpopuli`` is loaded lazily
-when available locally; tests inject a fake ``logits_fn``.
+Differences from the reference, all deliberate:
+* the DP (``max_alignment``) is iterative (the reference's recursive memoized
+  version blows the Python stack on long texts) with a C++ fast path;
+* the acoustic model is the JAX ``models/wav2vec2.Wav2Vec2ForCTC`` run under
+  jit with length bucketing (one compiled shape per 1 s bucket, valid frames
+  exact); a converted checkpoint is loaded through the weights store, with
+  on-the-fly conversion of the HF torch checkpoint as fallback;
+* ``logits_fn`` stays injectable for tests and custom acoustic models.
 """
 from __future__ import annotations
 
@@ -95,29 +98,109 @@ class TacotronCTCTokenizer:
         return "".join(out)
 
 
+def _bracket_segments(text: str) -> list[tuple[str, bool]]:
+    """Split ``a [b] c`` markup into (segment, is_bracketed) pieces."""
+    segments = []
+    rest = text
+    while rest:
+        if rest.startswith("["):
+            close = rest.find("]")
+            assert close != -1, \
+                'Every "[" character must be paired with a "]" with no nesting.'
+            inner = rest[1:close]
+            assert "[" not in inner, \
+                'Every "[" character must be paired with a "]" with no nesting.'
+            segments.append((inner, True))
+            rest = rest[close + 1:]
+        else:
+            nxt = rest.find("[")
+            cut = len(rest) if nxt == -1 else nxt
+            segments.append((rest[:cut], False))
+            rest = rest[cut:]
+    return segments
+
+
+def _fill_gaps(offsets: list[int], end: int) -> list[int]:
+    """Replace -1 runs with integer-linearly spaced values between their
+    known neighbors (same arithmetic as reference :111-121); ``end`` bounds
+    the final run."""
+    offsets = offsets + [end]
+    i = 0
+    while i < len(offsets):
+        if offsets[i] != -1:
+            i += 1
+            continue
+        j = i
+        while offsets[j] == -1:
+            j += 1
+        span = offsets[j] - offsets[i - 1]
+        for k in range(i, j):
+            offsets[k] = offsets[i - 1] + (k - i + 1) * span // (j - i + 1)
+        i = j + 1
+    return offsets[:-1]
+
+
 class Wav2VecAlignment:
     """Audio<->text alignment via a CTC model (reference :48-150).
 
     ``logits_fn(audio_16k) -> (frames, vocab)`` supplies the acoustic model;
-    the default lazily loads the HF torch checkpoint the reference uses.
+    by default the JAX wav2vec2 is loaded through the weights store (with
+    on-the-fly conversion of the HF torch checkpoint as fallback).
     """
 
-    def __init__(self, logits_fn: Callable | None = None, tokenizer=None):
+    def __init__(self, logits_fn: Callable | None = None, tokenizer=None,
+                 models_dir: str | None = None):
         self._logits_fn = logits_fn
+        self._models_dir = models_dir
         self.tokenizer = tokenizer or TacotronCTCTokenizer()
 
     def _default_logits_fn(self):
-        import torch
-        from transformers import Wav2Vec2ForCTC
+        import jax
+        import jax.numpy as jnp
 
-        model = Wav2Vec2ForCTC.from_pretrained(
-            "jbetker/wav2vec2-large-robust-ft-libritts-voxpopuli").cpu().eval()
+        from tortoise_tpu import weights as weights_lib
+        from tortoise_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2ForCTC
+
+        cfg = Wav2Vec2Config(vocab_size=len(self.tokenizer.symbols))
+        model = Wav2Vec2ForCTC(cfg)
+
+        def init_fn():
+            # no checkpoint anywhere: try the HF hub checkpoint the reference
+            # uses (reference wav2vec_alignment.py:53) and convert it
+            from transformers import Wav2Vec2ForCTC as HFModel
+
+            from tortoise_tpu.convert.torch_import import wav2vec2_params
+
+            hf = HFModel.from_pretrained(
+                "jbetker/wav2vec2-large-robust-ft-libritts-voxpopuli").eval()
+            return wav2vec2_params(hf.state_dict(), num_layers=cfg.num_layers,
+                                   num_convs=len(cfg.conv_dim))
+
+        params, _ = weights_lib.get_params("wav2vec2", init_fn,
+                                           self._models_dir, allow_random=False)
+        variables = jax.device_put({"params": params})
+
+        @jax.jit
+        def run(v, audio, n_samples):
+            # zero-mean/unit-var over the VALID samples only (reference :65
+            # normalizes the unpadded clip; torch .var() is unbiased)
+            t = audio.shape[1]
+            mask = (jnp.arange(t)[None, :] < n_samples).astype(audio.dtype)
+            mean = (audio * mask).sum() / n_samples
+            var = (((audio - mean) * mask) ** 2).sum() / (n_samples - 1)
+            norm = (audio - mean) / jnp.sqrt(var + 1e-7) * mask
+            return model.apply(v, norm, n_samples=n_samples)
+
+        bucket = 16000  # 1 s @ 16 kHz: coarse compile-shape buckets
 
         def fn(audio_16k: np.ndarray) -> np.ndarray:
-            with torch.no_grad():
-                clip = torch.from_numpy(audio_16k[None].astype(np.float32))
-                norm = (clip - clip.mean()) / torch.sqrt(clip.var() + 1e-7)
-                return model(norm).logits[0].numpy()
+            audio_16k = np.asarray(audio_16k, np.float32).reshape(-1)
+            n = audio_16k.shape[0]
+            nb = max(bucket, -(-n // bucket) * bucket)
+            padded = np.zeros((1, nb), np.float32)
+            padded[0, :n] = audio_16k
+            logits, n_frames = run(variables, jnp.asarray(padded), n)
+            return np.asarray(logits)[0, :int(n_frames)]
 
         return fn
 
@@ -136,65 +219,45 @@ class Wav2VecAlignment:
         audio = np.asarray(audio)
         if audio.ndim > 1:
             audio = audio.reshape(-1)
-        orig_len = audio.shape[-1]
+        total_samples = audio.shape[-1]
         logits = self._logits(audio, audio_sample_rate)
-        argmaxes = logits.argmax(-1)
-        pred_string = self.tokenizer.decode(argmaxes.tolist())
+        frame_ids = logits.argmax(-1)
+        heard = self.tokenizer.decode(frame_ids.tolist())
 
-        fixed_expectation = max_alignment(expected_text.lower(), pred_string)
-        w2v_compression = orig_len // logits.shape[0]
-        expected_tokens = self.tokenizer.encode(fixed_expectation)
-        expected_chars = list(fixed_expectation)
-        if len(expected_tokens) == 1:
+        # mark expected chars the model never voiced with '~'
+        matched = max_alignment(expected_text.lower(), heard)
+        chars = list(matched)
+        char_ids = self.tokenizer.encode(matched)
+        if len(chars) == 1:
             return [0]
-        expected_tokens.pop(0)
-        expected_chars.pop(0)
+        samples_per_frame = total_samples // len(frame_ids)
 
-        alignments = [0]
+        # two-pointer sweep: give each voiced char the first frame whose
+        # argmax matches it; unvoiced ('~') chars get -1 for interpolation
+        offsets = [0]  # the first char is pinned to the clip start
+        f, n_frames = 0, len(frame_ids)
+        c = 1
+        while c < len(chars):
+            if chars[c] == "~":
+                offsets.append(-1)
+                c += 1
+                continue
+            while f < n_frames and int(frame_ids[f]) != char_ids[c]:
+                f += 1
+            if f == n_frames:
+                break  # ran out of audio before placing every char
+            offsets.append(f * samples_per_frame)
+            f += 1
+            c += 1
 
-        def pop_till_you_win():
-            if len(expected_tokens) == 0:
-                return None
-            popped = expected_tokens.pop(0)
-            popped_char = expected_chars.pop(0)
-            while popped_char == "~":
-                alignments.append(-1)
-                if len(expected_tokens) == 0:
-                    return None
-                popped = expected_tokens.pop(0)
-                popped_char = expected_chars.pop(0)
-            return popped
-
-        next_expected = pop_till_you_win()
-        for i, top in enumerate(argmaxes):
-            if next_expected == int(top):
-                alignments.append(i * w2v_compression)
-                if len(expected_tokens) > 0:
-                    next_expected = pop_till_you_win()
-                else:
-                    break
-
-        pop_till_you_win()
-        if not (len(expected_tokens) == 0 and len(alignments) == len(expected_text)):
+        if c < len(chars) or len(offsets) != len(expected_text):
             np.savez("alignment_debug.npz", audio=audio, text=expected_text)
             raise AssertionError(
                 "Something went wrong with the alignment algorithm. I've dumped a "
                 "file, 'alignment_debug.npz' to your current working directory. "
                 "Please report this along with the file so it can get fixed.")
 
-        # Interpolate unmatched (-1) positions (reference :111-121).
-        alignments.append(orig_len)
-        for i in range(len(alignments)):
-            if alignments[i] == -1:
-                for j in range(i + 1, len(alignments)):
-                    if alignments[j] != -1:
-                        next_found = j
-                        break
-                for j in range(i, next_found):
-                    gap = alignments[next_found] - alignments[i - 1]
-                    alignments[j] = (j - i + 1) * gap // (next_found - i + 1) \
-                        + alignments[i - 1]
-        return alignments[:-1]
+        return _fill_gaps(offsets, total_samples)
 
     def redact(self, audio: np.ndarray, expected_text: str,
                audio_sample_rate: int = 24000) -> np.ndarray:
@@ -205,22 +268,20 @@ class Wav2VecAlignment:
         squeeze = audio.ndim == 1
         if squeeze:
             audio = audio[None]
-        splitted = expected_text.split("[")
-        fully_split = [splitted[0]]
-        for spl in splitted[1:]:
-            assert "]" in spl, 'Every "[" character must be paired with a "]" with no nesting.'
-            fully_split.extend(spl.split("]"))
 
-        non_redacted = []
-        last_point = 0
-        for i, part in enumerate(fully_split):
-            if i % 2 == 0 and part != "":
-                non_redacted.append((last_point, max(0, last_point + len(part) - 1)))
-            last_point += len(part)
+        segments = _bracket_segments(expected_text)
+        bare_text = "".join(seg for seg, _ in segments)
 
-        bare_text = "".join(fully_split)
-        alignments = self.align(audio.reshape(-1), bare_text, audio_sample_rate)
+        # character spans to keep; the end index is the segment's LAST char
+        # (reference quirk: it drops that char's audio span, :137-140)
+        keep: list[tuple[int, int]] = []
+        pos = 0
+        for seg, bracketed in segments:
+            if not bracketed and seg:
+                keep.append((pos, max(0, pos + len(seg) - 1)))
+            pos += len(seg)
 
-        out = [audio[:, alignments[s]:alignments[e]] for s, e in non_redacted]
-        result = np.concatenate(out, axis=-1)
+        offsets = self.align(audio.reshape(-1), bare_text, audio_sample_rate)
+        kept = [audio[:, offsets[s]:offsets[e]] for s, e in keep]
+        result = np.concatenate(kept, axis=-1)
         return result[0] if squeeze else result

@@ -34,6 +34,9 @@ TORCH_CHECKPOINTS = {
     "rlg_auto": "rlg_auto.pth",
     "rlg_diffuser": "rlg_diffuser.pth",
     "hifidecoder": "hifidecoder.pth",
+    # HF hub checkpoint, not a tortoise .pth: place a torch-saved state_dict
+    # (or the pytorch_model.bin) at this name to convert offline
+    "wav2vec2": "wav2vec2.pth",
 }
 
 
@@ -76,7 +79,8 @@ def convert_from_torch(name: str, torch_path: str) -> dict:
         for n, f in (("diffusion_decoder", "diffusion_tts_params"),
                      ("clvp", "clvp_params"), ("cvvp", "cvvp_params"),
                      ("vocoder", "univnet_params"), ("classifier", "classifier_params"),
-                     ("rlg_auto", "rlg_params"), ("rlg_diffuser", "rlg_params"))
+                     ("rlg_auto", "rlg_params"), ("rlg_diffuser", "rlg_params"),
+                     ("wav2vec2", "wav2vec2_params"))
         if hasattr(ti, f)
     }
     converters.update(extra)
