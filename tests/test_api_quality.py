@@ -104,3 +104,10 @@ def test_indivisible_candidate_count_warns(tts):
                       diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
                       use_deterministic_seed=7, verbose=False)
     assert np.isfinite(wav).all()
+
+
+def test_quality_tts_ddim_sampler(tts):
+    wav = tts.tts("Short.", diffusion_sampler="ddim", num_autoregressive_samples=2,
+                  diffusion_iterations=4, cond_free=False, max_mel_tokens=24,
+                  use_deterministic_seed=9, verbose=False)
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0

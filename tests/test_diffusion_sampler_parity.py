@@ -97,3 +97,33 @@ def test_full_loop_runs_and_is_deterministic():
     assert np.isfinite(np.asarray(out1)).all()
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 0
+
+
+@pytest.mark.parametrize("cond_free", [False, True])
+def test_ddim_full_loop_parity(cond_free):
+    """eta=0 DDIM is fully deterministic, so the WHOLE loop can be compared
+    against the reference ddim_sample iterated step by step
+    (reference diffusion.py:624-780)."""
+    import jax
+    import torch
+
+    ref = _ref_diffuser(cond_free)
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal((1, 4, 12)).astype(np.float32)
+
+    x = torch.from_numpy(noise.copy())
+    model = _fake_model_torch()
+    with torch.no_grad():
+        for t_step in range(STEPS - 1, -1, -1):
+            out = ref.ddim_sample(model, x, torch.tensor([t_step]),
+                                  clip_denoised=True, eta=0.0)
+            x = out["sample"]
+    want = x.numpy()
+
+    schedule = spaced_schedule("linear", 4000, STEPS)
+    loop = jsampler.make_ddim_sample_loop(
+        _fake_model_jax, schedule,
+        jsampler.SamplerConfig(cond_free=cond_free, cond_free_k=2.0, eta=0.0))
+    got = np.asarray(loop(None, None, jnp.asarray(noise.transpose(0, 2, 1)),
+                          jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(got.transpose(0, 2, 1), want, rtol=2e-4, atol=2e-4)

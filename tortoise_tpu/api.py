@@ -26,7 +26,8 @@ import numpy as np
 
 from tortoise_tpu import weights as weights_lib
 from tortoise_tpu.api_fast import deterministic_state, format_conditioning
-from tortoise_tpu.diffusion.sampler import SamplerConfig, make_p_sample_loop
+from tortoise_tpu.diffusion.sampler import (SamplerConfig, make_ddim_sample_loop,
+                                            make_p_sample_loop)
 from tortoise_tpu.diffusion.schedule import spaced_schedule
 from tortoise_tpu.models.ar_sampler import SamplerSettings, sample_speech
 from tortoise_tpu.models.autoregressive import (UnifiedVoice, UnifiedVoiceConfig,
@@ -331,8 +332,9 @@ class TextToSpeech:
                 np.asarray(sample_random_latent(self.rlg_diffusion, self._rlg_diff_vars, r2)))
 
     # ------------------------------------------------------------------
-    def _diffusion_loop(self, steps: int, cond_free: bool, cond_free_k: float):
-        key = (steps, cond_free, cond_free_k)
+    def _diffusion_loop(self, steps: int, cond_free: bool, cond_free_k: float,
+                        sampler: str = "p"):
+        key = (steps, cond_free, cond_free_k, sampler)
         if key not in self._diffusion_loops:
             schedule = spaced_schedule("linear", 4000, steps)
             model = self.diffusion
@@ -343,7 +345,9 @@ class TextToSpeech:
                                    precomputed_aligned_embeddings=pre_cond,
                                    rel_biases=rel_biases, valid_len=valid_len)
 
-            self._diffusion_loops[key] = make_p_sample_loop(
+            make_loop = {"p": make_p_sample_loop,
+                         "ddim": make_ddim_sample_loop}[sampler]
+            self._diffusion_loops[key] = make_loop(
                 model_fn, schedule,
                 SamplerConfig(cond_free=cond_free, cond_free_k=cond_free_k))
         return self._diffusion_loops[key]
@@ -352,9 +356,10 @@ class TextToSpeech:
 
     def do_spectrogram_diffusion(self, latents, diffusion_conditioning, *,
                                  diffusion_iterations, cond_free, cond_free_k,
-                                 temperature, rng):
+                                 temperature, rng, sampler="p"):
         """Latents (1, n, D) -> denormalized mel (1, 100, out_len)
-        (reference api.py:117-130).
+        (reference api.py:117-130). ``sampler``: "p" (ancestral, reference
+        default) or "ddim" (reference diffusion.py:624-780, eta=0).
 
         Lengths are bucketed: latents pad to a multiple of LATENT_BUCKET and
         the masked diffusion model guarantees the valid region matches an
@@ -381,7 +386,8 @@ class TextToSpeech:
             pre_cond = pre
         rng, r = jax.random.split(rng)
         noise = jax.random.normal(r, (latents.shape[0], out_bucket, 100)) * temperature
-        loop = self._diffusion_loop(diffusion_iterations, cond_free, cond_free_k)
+        loop = self._diffusion_loop(diffusion_iterations, cond_free, cond_free_k,
+                                    sampler)
         rel_biases = self._rel_biases(self.diffusion_vars, out_bucket)
         mel = loop(self.diffusion_vars, (pre_cond, rel_biases), noise, rng,
                    jnp.asarray(out_len))
@@ -399,7 +405,8 @@ class TextToSpeech:
             repetition_penalty=2.0, top_p=0.8, max_mel_tokens=500,
             typical_sampling=False, typical_mass=0.9,
             cvvp_amount=0.0, diffusion_iterations=100, cond_free=True,
-            cond_free_k=2.0, diffusion_temperature=1.0, **unused_hf_kwargs):
+            cond_free_k=2.0, diffusion_temperature=1.0, diffusion_sampler="p",
+            **unused_hf_kwargs):
         """Full quality pipeline (reference api.py:334-597). Returns a float32
         (1, 1, S) wav at 24 kHz, or a list of k wavs."""
         from tortoise_tpu.utils.profiling import StageTimer
@@ -531,7 +538,7 @@ class TextToSpeech:
                     latents, diffusion_conditioning,
                     diffusion_iterations=diffusion_iterations, cond_free=cond_free,
                     cond_free_k=cond_free_k, temperature=diffusion_temperature,
-                    rng=r1)
+                    rng=r1, sampler=diffusion_sampler)
                 mel.block_until_ready()
             with timer.stage("vocoder"):
                 mel_btc = jnp.swapaxes(mel, 1, 2)  # (1, F, 100)

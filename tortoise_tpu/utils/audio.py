@@ -23,9 +23,11 @@ from scipy.io.wavfile import write as wav_write
 from scipy.signal import resample_poly
 
 BUILTIN_VOICES_DIR = os.path.join(os.path.dirname(os.path.realpath(__file__)), "..", "voices")
-# The read-only reference checkout ships 30 usable voice folders; include
-# them as a search path when present so users keep their voice library.
-REFERENCE_VOICES_DIR = "/root/reference/tortoise/voices"
+# Optional extra voice library (e.g. a checkout of the reference's 30 voice
+# folders). Configurable — nothing is hardcoded to this machine's layout;
+# the default picks up the reference checkout when it happens to be mounted.
+REFERENCE_VOICES_DIR = os.environ.get("TORTOISE_EXTRA_VOICES_DIR",
+                                      "/root/reference/tortoise/voices")
 
 from tortoise_tpu.ops.mel import (TACOTRON_MEL_MAX,  # noqa: F401 (re-export)
                                   TACOTRON_MEL_MIN)
