@@ -129,13 +129,20 @@ class TextToSpeech:
         # build always uses a KV cache and bf16 compute when half=True.
         del kv_cache, device
         # Optional jax.sharding.Mesh: the AR candidate batch (and with it the
-        # whole decode scan) shards over the mesh's dp axis (SURVEY §2.5).
+        # whole decode scan) shards over the mesh's dp axis; with tp > 1 the
+        # AR weights shard Megatron-style and the KV cache shards over heads
+        # (SURVEY §2.5; replaces the reference's HF layer-placement model
+        # parallel, autoregressive.py:49-67).
         self.mesh = mesh
         self._batch_sharding = None
+        self._cache_sharding = None
         if mesh is not None:
             from tortoise_tpu.parallel.mesh import batch_sharding
+            from tortoise_tpu.parallel.sharding import kv_cache_sharding
 
             self._batch_sharding = batch_sharding(mesh)
+            if "tp" in mesh.shape and mesh.shape["tp"] > 1:
+                self._cache_sharding = kv_cache_sharding(mesh)
         self.text_bucket = text_bucket
         self.autoregressive_batch_size = (autoregressive_batch_size
                                           or pick_best_batch_size_for_device())
@@ -166,6 +173,10 @@ class TextToSpeech:
         self.autoregressive = UnifiedVoice(cfg, dtype=self.dtype)
         self.ar_vars, self.ar_source = _load(
             "autoregressive", lambda: init_unified_voice(self.autoregressive, 0))
+        if self._cache_sharding is not None:
+            from tortoise_tpu.parallel.sharding import shard_params
+
+            self.ar_vars = {"params": shard_params(self.ar_vars["params"], mesh)}
 
         dcfg = diffusion_config or DiffusionTtsConfig(
             in_latent_channels=cfg.model_dim)
@@ -476,7 +487,8 @@ class TextToSpeech:
                                          jnp.asarray(auto_conditioning),
                                          jnp.asarray(text_tokens), r, num_samples=bs,
                                          settings=settings,
-                                         batch_sharding=self._batch_sharding)
+                                         batch_sharding=self._batch_sharding,
+                                         cache_sharding=self._cache_sharding)
                 samples.append(np.asarray(codes))
         samples = np.concatenate(samples, axis=0)  # (N, max_mel_tokens)
 

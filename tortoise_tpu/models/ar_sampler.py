@@ -96,14 +96,21 @@ def _step(model, variables, settings: SamplerSettings, carry, _):
     return (cache, tok, seen, finished, rng, s + 1, pos + 1), ys
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _prefill(model, variables, prompt, rng, settings: SamplerSettings, cache_dtype):
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _prefill(model, variables, prompt, rng, settings: SamplerSettings, cache_dtype,
+             cache_sharding=None):
     """Process the prompt, sample token 0. Returns (carry, tok0, latent0)."""
     cfg = model.config
     b, p_len, d = prompt.shape
     # Cache padded to a 256 multiple so the flash-decode chunking divides it.
     cache_len = -(-(p_len + settings.max_generate) // 256) * 256
     cache = init_kv_cache(cfg.gpt_config, b, cache_len, dtype=cache_dtype)
+    if cache_sharding is not None:
+        # pin the (L, B, H, T, Dh) buffers: batch over dp, heads over tp —
+        # without this GSPMD can leave the preallocated cache replicated and
+        # gather it every step (parallel/sharding.kv_cache_sharding)
+        cache = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, cache_sharding), cache)
 
     hidden, cache = model.apply(variables, prompt, cache, 0,
                                 method=UnifiedVoice.gpt_with_cache)
@@ -142,7 +149,8 @@ def _segment(model, variables, carry, settings: SamplerSettings, seg_len: int):
 def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray,
                   text_tokens: jnp.ndarray, rng: jax.Array, num_samples: int,
                   settings: SamplerSettings = SamplerSettings(),
-                  cache_dtype=jnp.bfloat16, batch_sharding=None):
+                  cache_dtype=jnp.bfloat16, batch_sharding=None,
+                  cache_sharding=None):
     """Sample ``num_samples`` candidate mel-code sequences.
 
     cond_latent: (1, D) or (B, D); text_tokens: (1, T) int32 with the
@@ -154,7 +162,8 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
     """
     prompt = _make_prompt(model, variables, cond_latent, text_tokens,
                           num_samples, batch_sharding)
-    return _decode(model, variables, prompt, rng, settings, cache_dtype)
+    return _decode(model, variables, prompt, rng, settings, cache_dtype,
+                   cache_sharding)
 
 
 def _make_prompt(model, variables, cond_latent, text_tokens, num_samples,
@@ -170,8 +179,9 @@ def _make_prompt(model, variables, cond_latent, text_tokens, num_samples,
     return prompt
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtype):
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtype,
+            cache_sharding=None):
     """Fused prefill + early-exit decode loop (the batch-candidates path).
 
     A ``while_loop`` stops as soon as every candidate has latched its stop
@@ -184,7 +194,8 @@ def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtyp
     d = cfg.model_dim
     max_gen = settings.max_generate
     carry, tok0, latent0 = _prefill.__wrapped__(model, variables, prompt, rng,
-                                                settings, cache_dtype)
+                                                settings, cache_dtype,
+                                                cache_sharding)
     toks_buf = jnp.full((b, max_gen), cfg.stop_mel_token, jnp.int32)
     toks_buf = toks_buf.at[:, 0].set(tok0)
     emit = settings.emit_latents

@@ -34,6 +34,14 @@ def unified_voice_pspec(path: tuple[str, ...], leaf) -> P:
     return P()
 
 
+def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
+    """Decode KV cache (L, B, H, T_max, Dh): candidate batch over ``dp``,
+    heads over ``tp`` (attention is embarrassingly parallel over heads, so
+    a heads-sharded cache needs no extra collectives — the qkv projection's
+    output sharding already matches it)."""
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
+
+
 def shard_params(params, mesh: Mesh, rules=unified_voice_pspec):
     """Place a param tree on the mesh according to ``rules``."""
     def place(path, leaf):
