@@ -47,12 +47,13 @@ MEL_NORMS_FILE = mel_ops.DEFAULT_MEL_NORMS_FILE
 CALM_TOKEN = 83  # mel code for silence (reference api.py:409)
 
 
-def pick_best_batch_size_for_device(device=None) -> int:
+def pick_best_batch_size_for_device(device=None, kv_cache_dtype="bf16") -> int:
     """Candidate micro-batch size from accelerator memory, the TPU analog of
     the reference's free-VRAM tiers (reference api.py:148-172: 16/8/4/1 by
     GPU memory). TPU HBM tiers are sized for the bf16 AR model + a
     per-candidate KV cache; a v5e (16 GB) comfortably decodes 32 candidates
-    at once (measured), half that per halving of HBM.
+    at once (measured), half that per halving of HBM. The int8 KV cache
+    (~0.53x the bytes per candidate) doubles each tier.
     """
     # per-chip HBM for TPU generations whose backends don't expose
     # memory_stats() (e.g. tunneled/plugin backends return None)
@@ -70,14 +71,15 @@ def pick_best_batch_size_for_device(device=None) -> int:
                            if kind.startswith(k)), 0)
     except Exception:
         pass
+    mult = 2 if kv_cache_dtype in ("int8", jnp.int8) else 1
     if hbm_gb >= 30:
-        return 64
+        return 64 * mult
     if hbm_gb >= 14:
-        return 32
+        return 32 * mult
     if hbm_gb >= 7:
-        return 16
+        return 16 * mult
     if hbm_gb > 0:
-        return 8
+        return 8 * mult
     return 32  # unknown backend (e.g. CPU tests): the reference-parity default
 
 
@@ -122,12 +124,18 @@ class TextToSpeech:
                  enable_redaction=False, kv_cache=True, half=True, device=None,
                  tokenizer_vocab_file=None, tokenizer_basic=False,
                  allow_random_weights=True, text_bucket: int = 32, mesh=None,
+                 kv_cache_dtype="bf16",
                  ar_config: UnifiedVoiceConfig | None = None,
                  diffusion_config: DiffusionTtsConfig | None = None,
                  clvp_config: CLVPConfig | None = None):
         # kv_cache/half/device kept for reference API compatibility; the TPU
         # build always uses a KV cache and bf16 compute when half=True.
         del kv_cache, device
+        # "bf16" (exact parity) or "int8" (quantized cache: ~half the decode
+        # HBM traffic, double the candidate batch per chip, sub-1% attention
+        # error — see tests/test_int8_kv_cache.py).
+        self.kv_cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
+                               "f32": jnp.float32}[kv_cache_dtype]
         # Optional jax.sharding.Mesh: the AR candidate batch (and with it the
         # whole decode scan) shards over the mesh's dp axis; with tp > 1 the
         # AR weights shard Megatron-style and the KV cache shards over heads
@@ -144,8 +152,9 @@ class TextToSpeech:
             if "tp" in mesh.shape and mesh.shape["tp"] > 1:
                 self._cache_sharding = kv_cache_sharding(mesh)
         self.text_bucket = text_bucket
-        self.autoregressive_batch_size = (autoregressive_batch_size
-                                          or pick_best_batch_size_for_device())
+        self.autoregressive_batch_size = (
+            autoregressive_batch_size
+            or pick_best_batch_size_for_device(kv_cache_dtype=kv_cache_dtype))
         self.dtype = jnp.bfloat16 if half else jnp.float32
         self.enable_redaction = enable_redaction
         self.aligner = None
@@ -487,6 +496,7 @@ class TextToSpeech:
                                          jnp.asarray(auto_conditioning),
                                          jnp.asarray(text_tokens), r, num_samples=bs,
                                          settings=settings,
+                                         cache_dtype=self.kv_cache_dtype,
                                          batch_sharding=self._batch_sharding,
                                          cache_sharding=self._cache_sharding)
                 samples.append(np.asarray(codes))

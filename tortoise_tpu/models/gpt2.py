@@ -67,26 +67,56 @@ class GPT2Attention(nn.Module):
 
         if cache is not None:
             kc = cache["k"]
-            cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], k[None].astype(kc.dtype),
-                    (layer_idx, 0, 0, cache_index, 0)),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], v[None].astype(kc.dtype),
-                    (layer_idx, 0, 0, cache_index, 0)),
-            }
+            quantized = "k_scale" in cache
+            if quantized:
+                # int8 KV cache: per-(batch, head, position) symmetric scales.
+                # Halves decode HBM traffic vs bf16 — the AR decode is
+                # bandwidth-bound on cache reads, so this directly buys
+                # throughput and doubles the candidate batch that fits.
+                k_s = jnp.max(jnp.abs(k), axis=-1, keepdims=True) / 127.0
+                v_s = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0
+                k_s = jnp.maximum(k_s, 1e-8).astype(jnp.float32)
+                v_s = jnp.maximum(v_s, 1e-8).astype(jnp.float32)
+                k_w = jnp.round(k.astype(jnp.float32) / k_s).astype(jnp.int8)
+                v_w = jnp.round(v.astype(jnp.float32) / v_s).astype(jnp.int8)
+                at = (layer_idx, 0, 0, cache_index, 0)
+                cache = {
+                    "k": jax.lax.dynamic_update_slice(cache["k"], k_w[None], at),
+                    "v": jax.lax.dynamic_update_slice(cache["v"], v_w[None], at),
+                    "k_scale": jax.lax.dynamic_update_slice(
+                        cache["k_scale"], k_s[None].astype(cache["k_scale"].dtype), at),
+                    "v_scale": jax.lax.dynamic_update_slice(
+                        cache["v_scale"], v_s[None].astype(cache["v_scale"].dtype), at),
+                }
+            else:
+                cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], k[None].astype(kc.dtype),
+                        (layer_idx, 0, 0, cache_index, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], v[None].astype(kc.dtype),
+                        (layer_idx, 0, 0, cache_index, 0)),
+                }
             if t == 1 and kc.shape[3] % 256 == 0:
                 # flash-decode: dynamic-trip-count chunked online softmax —
                 # only the valid cache prefix is read (ops/attention.py)
                 from tortoise_tpu.ops.attention import chunked_decode_attention_layered
 
-                out = chunked_decode_attention_layered(q, cache["k"], cache["v"],
-                                                       layer_idx, cache_index)
+                out = chunked_decode_attention_layered(
+                    q, cache["k"], cache["v"], layer_idx, cache_index,
+                    k_scale=cache.get("k_scale"), v_scale=cache.get("v_scale"))
             else:
-                ck = jax.lax.dynamic_index_in_dim(cache["k"], layer_idx, 0,
-                                                  keepdims=False)
-                cv = jax.lax.dynamic_index_in_dim(cache["v"], layer_idx, 0,
-                                                  keepdims=False)
+                def _layer(name):
+                    x = jax.lax.dynamic_index_in_dim(cache[name], layer_idx, 0,
+                                                     keepdims=False)
+                    if quantized:
+                        s = jax.lax.dynamic_index_in_dim(
+                            cache[f"{name}_scale"], layer_idx, 0, keepdims=False)
+                        x = x.astype(jnp.float32) * s
+                    return x
+
+                ck = _layer("k")
+                cv = _layer("v")
                 t_max = ck.shape[2]
                 key_pos = jnp.arange(t_max)[None, :]                 # (1, T_max)
                 query_pos = cache_index + jnp.arange(t)[:, None]     # (T, 1)
@@ -181,6 +211,14 @@ class GPT2Stack(nn.Module):
 
 def init_kv_cache(config: GPT2Config, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> dict[str, jnp.ndarray]:
+    """Preallocated layered cache. ``dtype=jnp.int8`` selects the quantized
+    cache: int8 buffers plus float32 per-(layer, batch, head, position)
+    symmetric scales (~0.53x the bytes of bf16)."""
     dh = config.n_embd // config.n_head
     shape = (config.n_layer, batch, config.n_head, max_len, dh)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if dtype == jnp.int8:
+        sshape = shape[:-1] + (1,)
+        cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
+        cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
+    return cache

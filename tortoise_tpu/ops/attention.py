@@ -22,13 +22,16 @@ NEG_INF = -1e9
 
 def chunked_decode_attention_layered(q: jnp.ndarray, ck: jnp.ndarray,
                                      cv: jnp.ndarray, layer_idx, cache_index,
-                                     chunk: int = 256) -> jnp.ndarray:
+                                     chunk: int = 256, k_scale=None,
+                                     v_scale=None) -> jnp.ndarray:
     """Flash-decode reading directly from the full layered cache.
 
     q: (B, H, 1, D); ck/cv: (L, B, H, T_max, D); slices (layer, chunk)
     windows so only the valid prefix of the current layer is ever read —
     materializing a per-layer copy first would move the whole buffer every
-    step.
+    step. With ``k_scale``/``v_scale`` ((L, B, H, T_max, 1), int8 cache) the
+    chunks are dequantized in-register after the sliced read, so the HBM
+    traffic is the int8 bytes.
     """
     b, h, _, d = q.shape
     t_max = ck.shape[3]
@@ -40,11 +43,19 @@ def chunked_decode_attention_layered(q: jnp.ndarray, ck: jnp.ndarray,
     def body(c, carry):
         m, l, acc = carry
         start = c * chunk
-        k_blk = jax.lax.dynamic_slice(ck, (layer_idx, 0, 0, start, 0),
-                                      (1, b, h, chunk, d))[0]
-        v_blk = jax.lax.dynamic_slice(cv, (layer_idx, 0, 0, start, 0),
-                                      (1, b, h, chunk, d))[0]
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32),
+
+        def blk(buf, scales):
+            x = jax.lax.dynamic_slice(buf, (layer_idx, 0, 0, start, 0),
+                                      (1, b, h, chunk, d))[0].astype(jnp.float32)
+            if scales is not None:
+                s = jax.lax.dynamic_slice(scales, (layer_idx, 0, 0, start, 0),
+                                          (1, b, h, chunk, 1))[0]
+                x = x * s
+            return x
+
+        k_blk = blk(ck, k_scale)
+        v_blk = blk(cv, v_scale)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk,
                             preferred_element_type=jnp.float32) * scale
         pos = start + jnp.arange(chunk)
         logits = jnp.where(pos[None, None, None, :] < n, logits, NEG_INF)
@@ -53,7 +64,7 @@ def chunked_decode_attention_layered(q: jnp.ndarray, ck: jnp.ndarray,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + p.sum(axis=-1)
         acc_new = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
+            "bhqk,bhkd->bhqd", p, v_blk,
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
