@@ -44,27 +44,31 @@ def chunked_decode_attention_layered(q: jnp.ndarray, ck: jnp.ndarray,
         m, l, acc = carry
         start = c * chunk
 
-        def blk(buf, scales):
-            x = jax.lax.dynamic_slice(buf, (layer_idx, 0, 0, start, 0),
-                                      (1, b, h, chunk, d))[0].astype(jnp.float32)
-            if scales is not None:
-                s = jax.lax.dynamic_slice(scales, (layer_idx, 0, 0, start, 0),
-                                          (1, b, h, chunk, 1))[0]
-                x = x * s
-            return x
+        def blk(buf, width):
+            return jax.lax.dynamic_slice(buf, (layer_idx, 0, 0, start, 0),
+                                         (1, b, h, chunk, width))[0]
 
-        k_blk = blk(ck, k_scale)
-        v_blk = blk(cv, v_scale)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk,
+        k_blk, v_blk = blk(ck, d), blk(cv, d)
+        # int8 cache: the per-position scales FACTOR OUT of both matmuls —
+        # logits pick up k_scale after the QK product, v_scale folds into the
+        # softmax weights before the PV product. The int8 values feed the
+        # einsums directly (one fused convert on the operand read); a
+        # pre-multiply dequant materializes (B,H,chunk,D) f32 blocks in HBM
+        # and measures 2x SLOWER than the bf16 cache on v5e.
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32),
                             preferred_element_type=jnp.float32) * scale
+        if k_scale is not None:
+            ks_blk = blk(k_scale, 1)                       # (B,H,chunk,1)
+            logits = logits * jnp.swapaxes(ks_blk, 2, 3)   # (B,H,1,chunk)
         pos = start + jnp.arange(chunk)
         logits = jnp.where(pos[None, None, None, :] < n, logits, NEG_INF)
         m_new = jnp.maximum(m, logits.max(axis=-1))
         p = jnp.exp(logits - m_new[..., None])
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + p.sum(axis=-1)
+        pv = p if v_scale is None else p * jnp.swapaxes(blk(v_scale, 1), 2, 3)
         acc_new = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, v_blk,
+            "bhqk,bhkd->bhqd", pv, v_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
