@@ -124,7 +124,7 @@ class TextToSpeech:
                  enable_redaction=False, kv_cache=True, half=True, device=None,
                  tokenizer_vocab_file=None, tokenizer_basic=False,
                  allow_random_weights=True, text_bucket: int = 32, mesh=None,
-                 kv_cache_dtype="bf16",
+                 kv_cache_dtype="bf16", flash_attn: bool | None = None,
                  ar_config: UnifiedVoiceConfig | None = None,
                  diffusion_config: DiffusionTtsConfig | None = None,
                  clvp_config: CLVPConfig | None = None):
@@ -136,6 +136,10 @@ class TextToSpeech:
         # error — see tests/test_int8_kv_cache.py).
         self.kv_cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
                                "f32": jnp.float32}[kv_cache_dtype]
+        # Pallas flash attention for the diffusion stack (ops/attn_pallas.py):
+        # default on accelerators, off on CPU (there it would run interpreted)
+        self.flash_attn = (flash_attn if flash_attn is not None
+                           else jax.devices()[0].platform != "cpu")
         # Optional jax.sharding.Mesh: the AR candidate batch (and with it the
         # whole decode scan) shards over the mesh's dp axis; with tp > 1 the
         # AR weights shard Megatron-style and the KV cache shards over heads
@@ -264,8 +268,12 @@ class TextToSpeech:
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def _rel_biases(v, out_bucket):
-            from tortoise_tpu.models.diffusion_decoder import compute_rel_biases
+            from tortoise_tpu.models.diffusion_decoder import (
+                compute_rel_bias_blocks, compute_rel_biases)
 
+            if self.flash_attn:
+                return compute_rel_bias_blocks(v["params"], dcfg, out_bucket,
+                                               dtype=self.dtype)
             return compute_rel_biases(v["params"], dcfg, out_bucket,
                                       dtype=self.dtype)
 

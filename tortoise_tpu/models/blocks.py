@@ -192,6 +192,27 @@ class AttentionBlock(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(y)
         qkv = qkv.reshape(b, t, h, 3, ch)  # per-head [q|k|v] interleave
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        if precomputed_bias is not None and precomputed_bias.ndim == 4:
+            # (H, M, bq, bq) Toeplitz bias tiles -> Pallas flash attention:
+            # scores never round-trip HBM and bias tiles are shared along
+            # block diagonals (ops/attn_pallas.py). `mask` (the post-softmax
+            # reference quirk) is dead in shipped configs and unsupported here.
+            assert mask is None, "flash attention path has no post-softmax mask"
+            from tortoise_tpu.ops.attn_pallas import flash_rel_attention
+
+            lens = (jnp.full((b,), t, jnp.int32) if valid_mask is None
+                    else valid_mask.astype(jnp.int32).sum(axis=-1))
+            interpret = jax.devices()[0].platform == "cpu"
+            o = flash_rel_attention(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                                    jnp.swapaxes(v, 1, 2), precomputed_bias,
+                                    lens, interpret=interpret)
+            out = jnp.swapaxes(o, 1, 2).reshape(b, t, c)
+            out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                           kernel_init=nn.initializers.zeros, name="proj_out")(out)
+            out = x + out
+            if valid_mask is not None:
+                out = out * valid_mask[:, :, None].astype(out.dtype)
+            return out
         scale = 1.0 / np.sqrt(np.sqrt(ch))
         logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
                             preferred_element_type=jnp.float32)

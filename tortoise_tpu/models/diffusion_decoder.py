@@ -344,3 +344,21 @@ def compute_rel_biases(params: dict, config: DiffusionTtsConfig, t: int,
     b_layers = expand(params["layers_scan"]["layer"]["attn"]["rel_pos"]["embedding"])
     b_cond = expand(params["cond_scan"]["layer"]["attn"]["rel_pos"]["embedding"])
     return b_layers, b_cond
+
+
+def compute_rel_bias_blocks(params: dict, config: DiffusionTtsConfig, t: int,
+                            dtype=jnp.bfloat16):
+    """Toeplitz bias TILE stacks for the Pallas flash-attention path:
+    ((L, H, 2*nq-1, bq, bq), (3, H, ...)). ~60x smaller than the dense
+    (L, H, T, T) tables of ``compute_rel_biases`` at T~1100 — block pairs on
+    the same block diagonal share one tile (see ops/attn_pallas.py)."""
+    from tortoise_tpu.ops.attn_pallas import rel_bias_blocks
+
+    scale = (config.model_channels // config.num_heads) ** 0.5
+    b_layers = rel_bias_blocks(
+        params["layers_scan"]["layer"]["attn"]["rel_pos"]["embedding"],
+        t, scale, dtype=dtype)
+    b_cond = rel_bias_blocks(
+        params["cond_scan"]["layer"]["attn"]["rel_pos"]["embedding"],
+        t, scale, dtype=dtype)
+    return b_layers, b_cond
