@@ -117,3 +117,53 @@ def test_diffusion_model_flash_biases_match_dense():
                   rel_biases=tiles, valid_len=jnp.asarray(40))
     np.testing.assert_allclose(np.asarray(got)[:, :40], np.asarray(want)[:, :40],
                                rtol=5e-5, atol=5e-5)
+
+
+def test_merged_decode_attention_matches_layered():
+    """Production merged-layout flash-decode (ops/attention.py) computes the
+    same attention as the per-head layered formulation, bf16 and int8."""
+    from tortoise_tpu.ops.attention import (chunked_decode_attention_layered,
+                                            chunked_decode_attention_merged)
+
+    L, B, T, H, DH = 3, 2, 512, 4, 64
+    C = H * DH
+    rng = np.random.default_rng(4)
+    ckm = rng.standard_normal((L, B, T, C)).astype(np.float32)
+    cvm = rng.standard_normal((L, B, T, C)).astype(np.float32)
+    q = rng.standard_normal((B, C)).astype(np.float32)
+    ckh = jnp.asarray(ckm.reshape(L, B, T, H, DH).transpose(0, 1, 3, 2, 4))
+    cvh = jnp.asarray(cvm.reshape(L, B, T, H, DH).transpose(0, 1, 3, 2, 4))
+    qh = jnp.asarray(q.reshape(B, H, 1, DH))
+
+    for li, pos in [(0, 0), (1, 17), (2, 300), (2, 511)]:
+        want = chunked_decode_attention_layered(qh, ckh, cvh, li, pos)
+        got = chunked_decode_attention_merged(jnp.asarray(q), jnp.asarray(ckm),
+                                              jnp.asarray(cvm), li, pos,
+                                              heads=H)
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(B, H, DH),
+            np.asarray(want).reshape(B, H, DH), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_merged_decode_matches_xla_twin():
+    """decode_attention_merged (interpret mode) vs its pure-XLA twin: same
+    outputs, identical in-place cache row writes."""
+    from tortoise_tpu.ops.attn_pallas import (decode_attention_merged,
+                                              decode_attention_merged_xla)
+
+    L, B, T, H, DH = 2, 2, 256, 4, 64
+    C = H * DH
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((B, C)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, C)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, C)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((L, B, T, C)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((L, B, T, C)), jnp.float32)
+    for li, pos in [(0, 0), (1, 100)]:
+        o1, k1, v1 = decode_attention_merged(q, kn, vn, kc, vc, li, pos,
+                                             heads=H, interpret=True)
+        o2, k2, v2 = decode_attention_merged_xla(q, kn, vn, kc, vc, li, pos,
+                                                 heads=H)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-2, atol=1e-2)
+        assert jnp.array_equal(k1, k2) and jnp.array_equal(v1, v2)

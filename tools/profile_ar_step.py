@@ -22,7 +22,7 @@ from tortoise_tpu.models.autoregressive import (UnifiedVoice,
                                                 UnifiedVoiceConfig,
                                                 init_unified_voice)
 from tortoise_tpu.models import ar_sampler
-from tortoise_tpu.ops.attention import chunked_decode_attention_layered
+from tortoise_tpu.ops.attention import chunked_decode_attention_merged
 from tortoise_tpu import weights as weights_lib
 
 
@@ -99,7 +99,7 @@ def main():
         st = ar_sampler.SamplerSettings(max_generate=mg)
         carry2, _, _ = ar_sampler._prefill(model, variables, prompt, rng,
                                            st, jnp.bfloat16)
-        t_max2 = carry2[0]["k"].shape[3]
+        t_max2 = carry2[0]["k"].shape[2]
 
         def tfm2(k, _c=carry2):
             return lambda: transformer_only(variables, _c, k)
@@ -126,13 +126,18 @@ def main():
         return lambda: sampling_only(rng, k)
     print(f"[c] sampling-only     {diff_per_step(smp, n):7.3f} ms/tok")
 
-    # (d) attention isolation: L sequential layers per step, several chunk
-    # sizes, plus a full-prefix masked read
+    # (d) attention isolation: L sequential layers per step over the
+    # production merged-layout cache (ops/attention.py), several chunk
+    # sizes, plus a full-prefix masked read on the per-head layout
     L, H, Dh = cfg.layers, cfg.heads, cfg.model_dim // cfg.heads
+    C = cfg.model_dim
     t_max = 1024
+    ckm = jnp.zeros((L, b, t_max, C), jnp.bfloat16)
+    cvm = jnp.zeros((L, b, t_max, C), jnp.bfloat16)
     ck = jnp.zeros((L, b, H, t_max, Dh), jnp.bfloat16)
     cv = jnp.zeros((L, b, H, t_max, Dh), jnp.bfloat16)
     q0 = jnp.zeros((b, H, 1, Dh), jnp.bfloat16)
+    q0m = jnp.zeros((b, C), jnp.bfloat16)
 
     for pos in (128, 512, 1000):
         row = [f"[d] attn pos={pos:4d}"]
@@ -141,14 +146,15 @@ def main():
             def attn_steps(q, ck, cv, k, _chunk, _pos):
                 def step(acc, _):
                     for l in range(L):
-                        acc = acc + chunked_decode_attention_layered(
-                            q + acc, ck, cv, l, jnp.asarray(_pos), chunk=_chunk)
+                        acc = acc + chunked_decode_attention_merged(
+                            q + acc, ck, cv, l, jnp.asarray(_pos), heads=H,
+                            chunk=_chunk)
                     return acc, ()
                 acc, _ = jax.lax.scan(step, jnp.zeros_like(q), None, length=k)
                 return acc
 
             def att(k, _c=chunk, _p=pos, _f=attn_steps):
-                return lambda: _f(q0, ck, cv, k, _c, _p)
+                return lambda: _f(q0m, ckm, cvm, k, _c, _p)
             row.append(f"chunk{chunk}={diff_per_step(att, n):6.3f}")
 
         @functools.partial(jax.jit, static_argnums=(3, 4))

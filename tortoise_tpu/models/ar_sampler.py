@@ -106,7 +106,7 @@ def _prefill(model, variables, prompt, rng, settings: SamplerSettings, cache_dty
     cache_len = -(-(p_len + settings.max_generate) // 256) * 256
     cache = init_kv_cache(cfg.gpt_config, b, cache_len, dtype=cache_dtype)
     if cache_sharding is not None:
-        # pin the (L, B, H, T, Dh) buffers: batch over dp, heads over tp —
+        # pin the (L, B, T, C) buffers: batch over dp, channels over tp —
         # without this GSPMD can leave the preallocated cache replicated and
         # gather it every step (parallel/sharding.kv_cache_sharding)
         cache = jax.tree.map(

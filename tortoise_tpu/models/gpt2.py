@@ -6,11 +6,13 @@ UnifiedVoice on (reference: tortoise/models/autoregressive.py:246-266 with
 per-modality embeddings added to the input), but engineered for TPU decode:
 
 * one fused qkv projection feeding an f32-softmax attention,
-* a functional KV cache — {"k","v"} buffers of shape (L, B, H, T_max, Dh)
-  carried through the layer scan and the decode loop, updated with tiny
-  ``dynamic_update_slice`` writes at (layer, position) so XLA keeps the
-  buffer in place (returning per-layer caches as scan outputs forces a full
-  multi-GB buffer copy every decode step),
+* a functional KV cache — {"k","v"} buffers of shape (L, B, T_max, C) in
+  the MERGED-channel layout (C = H*Dh is lane-tile-exact; a per-head Dh=64
+  minor dim physically pads every tile 2x), carried through the layer scan
+  and the decode loop, updated with tiny ``dynamic_update_slice`` writes at
+  (layer, position) so XLA keeps the buffer in place (returning per-layer
+  caches as scan outputs forces a full multi-GB buffer copy every decode
+  step),
 * flash-decode attention reads only the valid cache prefix
   (ops/attention.py),
 * layers are weight-stacked under ``nn.scan`` — the HLO shrinks ~n_layer-fold
@@ -52,34 +54,34 @@ class GPT2Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, cache=None, layer_idx=None, cache_index=None):
-        """x: (B, T, C). With ``cache`` ({"k","v"} of (L, B, H, T_max, Dh))
-        the new keys/values are written in place at (layer_idx, cache_index)
-        and attention runs over the valid prefix; otherwise plain causal
-        attention. Returns (out, cache)."""
+        """x: (B, T, C). With ``cache`` ({"k","v"} of (L, B, T_max, C),
+        merged-channel layout — see ``init_kv_cache``) the new keys/values
+        are written in place at (layer_idx, cache_index) and attention runs
+        over the valid prefix; otherwise plain causal attention. Returns
+        (out, cache)."""
         cfg = self.config
         b, t, c = x.shape
         h, dh = cfg.n_head, c // cfg.n_head
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="c_attn")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)  # (B,H,T,Dh)
-        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        q, k, v = jnp.split(qkv, 3, axis=-1)                  # each (B, T, C)
 
         if cache is not None:
             kc = cache["k"]
             quantized = "k_scale" in cache
+            at = (layer_idx, 0, cache_index, 0)
             if quantized:
-                # int8 KV cache: per-(batch, head, position) symmetric scales.
+                # int8 KV cache: per-(batch, position, head) symmetric scales.
                 # Halves decode HBM traffic vs bf16 — the AR decode is
                 # bandwidth-bound on cache reads, so this directly buys
                 # throughput and doubles the candidate batch that fits.
-                k_s = jnp.max(jnp.abs(k), axis=-1, keepdims=True) / 127.0
-                v_s = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0
-                k_s = jnp.maximum(k_s, 1e-8).astype(jnp.float32)
-                v_s = jnp.maximum(v_s, 1e-8).astype(jnp.float32)
-                k_w = jnp.round(k.astype(jnp.float32) / k_s).astype(jnp.int8)
-                v_w = jnp.round(v.astype(jnp.float32) / v_s).astype(jnp.int8)
-                at = (layer_idx, 0, 0, cache_index, 0)
+                def quant(x_):
+                    xs = x_.reshape(b, t, h, dh).astype(jnp.float32)
+                    s = jnp.maximum(jnp.abs(xs).max(-1) / 127.0, 1e-8)  # (B,T,H)
+                    w = jnp.round(xs / s[..., None]).astype(jnp.int8)
+                    return w.reshape(b, t, c), s
+
+                k_w, k_s = quant(k)
+                v_w, v_s = quant(v)
                 cache = {
                     "k": jax.lax.dynamic_update_slice(cache["k"], k_w[None], at),
                     "v": jax.lax.dynamic_update_slice(cache["v"], v_w[None], at),
@@ -91,50 +93,59 @@ class GPT2Attention(nn.Module):
             else:
                 cache = {
                     "k": jax.lax.dynamic_update_slice(
-                        cache["k"], k[None].astype(kc.dtype),
-                        (layer_idx, 0, 0, cache_index, 0)),
+                        cache["k"], k[None].astype(kc.dtype), at),
                     "v": jax.lax.dynamic_update_slice(
-                        cache["v"], v[None].astype(kc.dtype),
-                        (layer_idx, 0, 0, cache_index, 0)),
+                        cache["v"], v[None].astype(kc.dtype), at),
                 }
-            if t == 1 and kc.shape[3] % 256 == 0:
+            if t == 1 and kc.shape[2] % 256 == 0:
                 # flash-decode: dynamic-trip-count chunked online softmax —
-                # only the valid cache prefix is read (ops/attention.py)
-                from tortoise_tpu.ops.attention import chunked_decode_attention_layered
+                # only the valid cache prefix is read, straight off the
+                # tile-exact merged layout (ops/attention.py)
+                from tortoise_tpu.ops.attention import chunked_decode_attention_merged
 
-                out = chunked_decode_attention_layered(
-                    q, cache["k"], cache["v"], layer_idx, cache_index,
-                    k_scale=cache.get("k_scale"), v_scale=cache.get("v_scale"))
+                out = chunked_decode_attention_merged(
+                    q[:, 0], cache["k"], cache["v"], layer_idx, cache_index,
+                    heads=h, k_scale=cache.get("k_scale"),
+                    v_scale=cache.get("v_scale"))[:, None, :]  # (B, 1, C)
             else:
+                # prefill / teacher-forced: read the cache prefix back and run
+                # plain masked attention (one-time relayout to per-head form)
                 def _layer(name):
-                    x = jax.lax.dynamic_index_in_dim(cache[name], layer_idx, 0,
-                                                     keepdims=False)
+                    x_ = jax.lax.dynamic_index_in_dim(cache[name], layer_idx, 0,
+                                                      keepdims=False)
+                    t_max = x_.shape[1]
+                    x_ = x_.reshape(b, t_max, h, dh)
                     if quantized:
                         s = jax.lax.dynamic_index_in_dim(
                             cache[f"{name}_scale"], layer_idx, 0, keepdims=False)
-                        x = x.astype(jnp.float32) * s
-                    return x
+                        x_ = x_.astype(jnp.float32) * s[..., None]
+                    return x_.transpose(0, 2, 1, 3)            # (B, H, T_max, Dh)
 
                 ck = _layer("k")
                 cv = _layer("v")
                 t_max = ck.shape[2]
+                qh = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
                 key_pos = jnp.arange(t_max)[None, :]                 # (1, T_max)
                 query_pos = cache_index + jnp.arange(t)[:, None]     # (T, 1)
                 mask = key_pos <= query_pos                          # causal within cache
-                logits = jnp.einsum("bhtd,bhsd->bhts", q, ck.astype(self.dtype),
+                logits = jnp.einsum("bhtd,bhsd->bhts", qh, ck.astype(self.dtype),
                                     preferred_element_type=jnp.float32) / np.sqrt(dh)
                 logits = jnp.where(mask[None, None], logits, NEG_INF)
                 w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
                 out = jnp.einsum("bhts,bhsd->bhtd", w, cv.astype(self.dtype))
+                out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
         else:
+            qh = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)  # (B,H,T,Dh)
+            kh = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
             mask = jnp.tril(jnp.ones((t, t), dtype=bool))
-            logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+            logits = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
                                 preferred_element_type=jnp.float32) / np.sqrt(dh)
             logits = jnp.where(mask[None, None], logits, NEG_INF)
             w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhts,bhsd->bhtd", w, v)
+            out = jnp.einsum("bhts,bhsd->bhtd", w, vh)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
         out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj")(out)
         return out, cache
 
@@ -211,14 +222,18 @@ class GPT2Stack(nn.Module):
 
 def init_kv_cache(config: GPT2Config, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> dict[str, jnp.ndarray]:
-    """Preallocated layered cache. ``dtype=jnp.int8`` selects the quantized
-    cache: int8 buffers plus float32 per-(layer, batch, head, position)
-    symmetric scales (~0.53x the bytes of bf16)."""
-    dh = config.n_embd // config.n_head
-    shape = (config.n_layer, batch, config.n_head, max_len, dh)
+    """Preallocated layered cache, merged-channel layout (L, B, T_max, C).
+
+    The C = n_embd minor dim is lane-tile-exact (1024 = 8 x 128), so reads
+    move exactly the logical bytes; a per-head (..., T, Dh=64) layout
+    physically pads every tile 2x (ops/attention.py header for the
+    measurement). ``dtype=jnp.int8`` selects the quantized cache: int8
+    buffers plus float32 per-(layer, batch, position, head) symmetric scales
+    (~0.53x the bytes of bf16)."""
+    shape = (config.n_layer, batch, max_len, config.n_embd)
     cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     if dtype == jnp.int8:
-        sshape = shape[:-1] + (1,)
+        sshape = shape[:-1] + (config.n_head,)
         cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
         cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
     return cache

@@ -132,6 +132,157 @@ def flash_rel_attention(q, k, v, bias_blocks, valid_len, *,
     return out[:, :, :t, :d]
 
 
+# ---------------------------------------------------------------------------
+# Decode attention over the merged-channel KV cache
+# ---------------------------------------------------------------------------
+#
+# The AR decode cache stores K/V as (L, B, T, C=H*Dh): with C=1024 the lane
+# dimension is tile-exact, where a (..., T, Dh=64) buffer pads every 128-lane
+# tile half-empty — XLA buffers with a 64-wide minor dim physically occupy
+# (and stream) 2x their logical bytes, which measured as the single biggest
+# AR decode cost at B=64. The cache row write stays an XLA
+# dynamic_update_slice outside the kernel (in-place and layout-clean on the
+# merged shape); the kernel reads the full rows straight from HBM.
+#
+# MEASURED CONCLUSION (v5e, L=30, B=16, T=768, n=600,
+# tools/bench_decode_attn_merged.py): 3.67 ms/step vs 2.36 for the SAME
+# block-diagonal math as a pure-XLA chunked flash-decode
+# (ops/attention.chunked_decode_attention_merged) — per-layer pallas_call
+# launch overhead again outweighs the on-chip wins, and the full-T DMA
+# cannot early-exit at low fill the way the XLA fori_loop does. The layout
+# insight (merged C, block-diagonal matmuls) is what mattered, and it
+# shipped in the XLA formulation; this kernel stays as measured groundwork
+# for a future whole-step fused decode kernel.
+
+
+def _decode_kernel(scalars_ref, q_ref, ks_hbm, vs_hbm, o_ref, k_s, v_s,
+                   sems, *, heads: int, dh: int):
+    """Grid (B,). scalars_ref: SMEM (2,) = [layer, pos]; q: (1, 1, C) VMEM
+    block; ks/vs: the FULL (L, B, T, C) caches in HBM (read-only — the row
+    write stays an XLA dynamic_update_slice, which is in-place and
+    layout-clean on the merged shape); o_ref: (1, 1, C) attention output;
+    k_s/v_s: (T, C) VMEM scratch; sems: DMA semaphores.
+    """
+    layer = scalars_ref[0]
+    pos = scalars_ref[1]
+    ib = pl.program_id(0)
+    c = q_ref.shape[2]
+    t = k_s.shape[0]
+
+    rd_k = pltpu.make_async_copy(ks_hbm.at[layer, ib], k_s, sems.at[0])
+    rd_v = pltpu.make_async_copy(vs_hbm.at[layer, ib], v_s, sems.at[1])
+    rd_k.start()
+    rd_v.start()
+    rd_k.wait()
+    rd_v.wait()
+    k2 = k_s[...]
+    v2 = v_s[...]
+    # Block-diagonal Q: qbd[c2, h] = q[c2] iff c2 // dh == h. The QK matvec
+    # becomes one (T, C) @ (C, H) MXU matmul instead of H vector reductions.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
+    # cast BEFORE the minor-dim insert: Mosaic only reshapes 32-bit vectors
+    # this way
+    qf = q_ref[0, 0].astype(jnp.float32)
+    qbd = jnp.where(lane // dh == head, qf[:, None], 0.0)
+    s = jax.lax.dot_general(k2.astype(jnp.float32), qbd,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (T, H)
+    s = s * (1.0 / np.sqrt(dh))
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, heads), 0)
+    s = jnp.where(row <= pos, s, NEG)
+
+    m_ = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m_)
+    l_ = jnp.sum(p, axis=0, keepdims=True)
+    w = p / l_                                        # (T, H) f32
+    # out[c2] = sum_t v2[t, c2] * w[t, c2 // dh] — expand w across each
+    # head's dh lanes with a one-hot (H, C) matmul (Mosaic supports neither
+    # interleaving repeat nor a (T,H,dh)->(T,C) minor merge) and reduce over
+    # T on the VPU.
+    expand = (head == lane // dh).astype(jnp.float32)  # (C, H)
+    wexp = jax.lax.dot_general(w, expand, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (T, C)
+    o_ref[0, 0] = jnp.sum(v2.astype(jnp.float32) * wexp,
+                          axis=0).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def decode_attention_merged(q, k_new, v_new, k_cache, v_cache, layer_idx,
+                            pos, *, heads: int, interpret: bool = False):
+    """One decode step of self-attention over the merged-channel cache.
+
+    q, k_new, v_new: (B, C); k_cache/v_cache: (L, B, T, C); layer_idx, pos:
+    scalars. Writes the k/v rows at (layer_idx, :, pos) IN PLACE (the caller
+    must treat the passed caches as consumed) and returns
+    (out (B, C), k_cache, v_cache).
+    """
+    lcount, b, t, c = k_cache.shape
+    dh = c // heads
+    li = jnp.asarray(layer_idx, jnp.int32)
+    pos = jnp.asarray(pos, jnp.int32)
+    scalars = jnp.stack([li, pos])
+
+    # the row write: an in-place XLA dus — the merged (L, B, T, C) shape is
+    # tile-exact (C = 8*128 lanes), so no layout padding and no copies
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[None, :, None, :],
+                                           (li, 0, pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new[None, :, None, :],
+                                           (li, 0, pos, 0))
+
+    def idx_vec(b_, sref):
+        return (b_, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, c), idx_vec),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # k cache stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v cache stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, c), idx_vec),
+        scratch_shapes=[
+            pltpu.VMEM((t, c), k_cache.dtype),
+            pltpu.VMEM((t, c), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, heads=heads, dh=dh),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1, c), q.dtype),
+        interpret=interpret,
+    )(scalars, q[:, None, :], k_cache, v_cache)
+    return out[:, 0], k_cache, v_cache
+
+
+def decode_attention_merged_xla(q, k_new, v_new, k_cache, v_cache, layer_idx,
+                                pos, *, heads: int):
+    """Pure-XLA twin of ``decode_attention_merged`` (CPU / parity tests).
+    Same math and cache contract, no Pallas."""
+    lcount, b, t, c = k_cache.shape
+    dh = c // heads
+    li = jnp.asarray(layer_idx, jnp.int32)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[None, :, None, :],
+                                           (li, 0, pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new[None, :, None, :],
+                                           (li, 0, pos, 0))
+    k2 = jax.lax.dynamic_index_in_dim(k_cache, li, 0, keepdims=False)
+    v2 = jax.lax.dynamic_index_in_dim(v_cache, li, 0, keepdims=False)
+    kr = k2.reshape(b, t, heads, dh).astype(jnp.float32)
+    vr = v2.reshape(b, t, heads, dh).astype(jnp.float32)
+    qr = q.reshape(b, heads, dh).astype(jnp.float32)
+    s = jnp.einsum("bhd,bthd->bht", qr, kr,
+                   precision=jax.lax.Precision.HIGHEST) / np.sqrt(dh)
+    row = jnp.arange(t)[None, None, :]
+    s = jnp.where(row <= pos, s, NEG)
+    w = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bht,bthd->bhd", w, vr,
+                   precision=jax.lax.Precision.HIGHEST)
+    return o.reshape(b, c).astype(q.dtype), k_cache, v_cache
+
+
 def _bucket_static(rel: np.ndarray, num_buckets: int = 32,
                    max_distance: int = 64) -> np.ndarray:
     """Static twin of blocks._np_relative_position_bucket (non-causal)."""

@@ -35,11 +35,13 @@ def unified_voice_pspec(path: tuple[str, ...], leaf) -> P:
 
 
 def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
-    """Decode KV cache (L, B, H, T_max, Dh): candidate batch over ``dp``,
-    heads over ``tp`` (attention is embarrassingly parallel over heads, so
-    a heads-sharded cache needs no extra collectives — the qkv projection's
-    output sharding already matches it)."""
-    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
+    """Decode KV cache, merged layout (L, B, T_max, C) (+ (L, B, T_max, H)
+    scales for int8): candidate batch over ``dp``, the channel/head minor
+    axis over ``tp``. Heads live wholly inside one C shard (C/tp is a
+    multiple of Dh), so a channel-sharded cache matches the tp-sharded qkv
+    projection output and attention stays embarrassingly parallel over
+    heads — GSPMD inserts no cache collectives."""
+    return NamedSharding(mesh, P(None, "dp", None, "tp"))
 
 
 def shard_params(params, mesh: Mesh, rules=unified_voice_pspec):
