@@ -56,6 +56,8 @@ def main():
                     help="skip the quality-preset ladder")
     ap.add_argument("--ladder-runs", type=int, default=2,
                     help="timed runs per quality preset in the ladder")
+    ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"],
+                    help="KV cache dtype for --preset mode")
     args = ap.parse_args()
 
     import warnings
@@ -87,7 +89,7 @@ def main():
     if args.preset is not None:
         from tortoise_tpu.api import TextToSpeech
 
-        qtts = TextToSpeech(half=not args.smoke)
+        qtts = TextToSpeech(half=not args.smoke, kv_cache_dtype=args.kv_cache)
         rtf, p50, audio_s = _measure(quality_runner(qtts, args.preset, args.tokens),
                                      args.runs)
         print(json.dumps({
@@ -98,6 +100,7 @@ def main():
             "detail": {"p50_latency_s": round(p50, 3),
                        "audio_s_per_run": round(audio_s, 2),
                        "runs": args.runs, "ar_tokens": args.tokens,
+                       "kv_cache": args.kv_cache,
                        "weights": qtts.ar_source,
                        "device": str(jax.devices()[0])},
         }))
@@ -146,6 +149,16 @@ def main():
                                   "audio_s_per_run": round(q_audio, 2),
                                   "vs_k80_baseline": round(
                                       REFERENCE_QUALITY_RTF / q_rtf, 2)}
+            # the int8 KV cache serving config: same standard-preset work
+            # (256 candidates / 200 steps), quantized decode reads + B=64
+            del qtts
+            qtts8 = TextToSpeech(half=True, kv_cache_dtype="int8")
+            q_rtf, q_p50, q_audio = _measure(
+                quality_runner(qtts8, "standard", args.tokens), args.ladder_runs)
+            ladder["standard_int8kv"] = {
+                "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
+                "audio_s_per_run": round(q_audio, 2),
+                "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
             detail["quality_ladder"] = ladder
             detail["quality_ladder_runs"] = args.ladder_runs
         except Exception as e:  # keep the headline metric even if this fails

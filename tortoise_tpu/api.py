@@ -17,6 +17,7 @@ TPU-native equivalent of the reference orchestrator
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import warnings
 
@@ -124,7 +125,8 @@ class TextToSpeech:
                  enable_redaction=False, kv_cache=True, half=True, device=None,
                  tokenizer_vocab_file=None, tokenizer_basic=False,
                  allow_random_weights=True, text_bucket: int = 32, mesh=None,
-                 kv_cache_dtype="bf16", flash_attn: bool | None = None,
+                 kv_cache_dtype="bf16", gpt_weights="bf16",
+                 flash_attn: bool | None = None,
                  ar_config: UnifiedVoiceConfig | None = None,
                  diffusion_config: DiffusionTtsConfig | None = None,
                  clvp_config: CLVPConfig | None = None):
@@ -172,20 +174,27 @@ class TextToSpeech:
         self._models_dir = models_dir
         self._allow_random = allow_random_weights
 
-        def _load(name, init_fn):
+        def _load(name, init_fn, quantize_gpt=False):
             p, source = weights_lib.get_params(name, init_fn, models_dir,
                                                allow_random=allow_random_weights)
             p = p.get("params", p) if isinstance(p, dict) and "params" in p else p
+            if quantize_gpt:
+                p = weights_lib.quantize_gpt_weights(p)
             if self.dtype == jnp.bfloat16:
                 p = weights_lib.cast_for_inference(p, jnp.bfloat16)
             # resident on device: host-numpy jit args would re-transfer per call
             return jax.device_put({"params": p}), source
 
         cfg = ar_config or UnifiedVoiceConfig()
+        if gpt_weights == "int8" and not cfg.quant_weights:
+            # weight-only int8 GPT kernels (gpt2.QuantDense): ~half the
+            # per-token weight read; checkpoints quantized after load
+            cfg = dataclasses.replace(cfg, quant_weights=True)
         self.ar_cfg = cfg
         self.autoregressive = UnifiedVoice(cfg, dtype=self.dtype)
         self.ar_vars, self.ar_source = _load(
-            "autoregressive", lambda: init_unified_voice(self.autoregressive, 0))
+            "autoregressive", lambda: init_unified_voice(self.autoregressive, 0),
+            quantize_gpt=cfg.quant_weights)
         if self._cache_sharding is not None:
             from tortoise_tpu.parallel.sharding import shard_params
 

@@ -86,7 +86,8 @@ class TextToSpeechFast:
     def __init__(self, models_dir=None, tokenizer_vocab_file=None,
                  tokenizer_basic=False, dtype=jnp.bfloat16, allow_random_weights=True,
                  ar_config: UnifiedVoiceConfig | None = None,
-                 latent_bucket: int = 64, text_bucket: int = 32):
+                 latent_bucket: int = 64, text_bucket: int = 32,
+                 gpt_weights="bf16"):
         self.dtype = dtype
         self.latent_bucket = latent_bucket
         # Pad text to bucket multiples with the stop token so each sentence
@@ -99,12 +100,20 @@ class TextToSpeechFast:
         self.mel_norms = mel_ops.load_mel_norms(MEL_NORMS_FILE)
 
         cfg = ar_config or UnifiedVoiceConfig()
+        if gpt_weights == "int8" and not cfg.quant_weights:
+            # weight-only int8 GPT kernels (gpt2.QuantDense) — the B=1
+            # streaming decode is weight-bandwidth-bound, so this is the
+            # fast path's biggest single-chip lever
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, quant_weights=True)
         self.autoregressive = UnifiedVoice(cfg, dtype=dtype)
         p, self.ar_source = weights_lib.get_params(
             "autoregressive",
             lambda: init_unified_voice(self.autoregressive, 0),
             models_dir, allow_random=allow_random_weights)
         p = p.get("params", p)
+        if cfg.quant_weights:
+            p = weights_lib.quantize_gpt_weights(p)
         if dtype == jnp.bfloat16:
             p = weights_lib.cast_for_inference(p, jnp.bfloat16)
         # resident on device: host-numpy jit args would re-transfer per call

@@ -39,10 +39,14 @@ class UnifiedVoiceConfig:
     start_mel_token: int = 8192
     stop_mel_token: int = 8193
     types: int = 1
+    # weight-only int8 GPT kernels (gpt2.QuantDense); convert full-precision
+    # params with weights.quantize_gpt_weights
+    quant_weights: bool = False
 
     @property
     def gpt_config(self) -> GPT2Config:
-        return GPT2Config(n_layer=self.layers, n_embd=self.model_dim, n_head=self.heads)
+        return GPT2Config(n_layer=self.layers, n_embd=self.model_dim,
+                          n_head=self.heads, quant_weights=self.quant_weights)
 
     @property
     def text_vocab(self) -> int:
@@ -228,9 +232,15 @@ def init_unified_voice(model: UnifiedVoice, rng, host_side: bool | None = None) 
 
     # Params stay host-side numpy: device transfer happens lazily on first
     # apply (a 1.7 GB eager transfer through a tunneled TPU takes minutes).
-    def fill(path, sd):
+    def fill(path, sd, siblings):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         shape, dtype = sd.shape, sd.dtype
+        if name == "qscale":
+            # QuantDense: lecun-like magnitude vs the uniform int8 kernel
+            in_f = siblings["kernel"].shape[-2]
+            return np.full(shape, 1.0 / (127.0 * np.sqrt(in_f)), dtype)
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            return gen.integers(-127, 128, shape).astype(dtype)
         if name in ("bias", "b"):
             return np.zeros(shape, dtype)
         if name in ("scale", "g"):
@@ -240,7 +250,16 @@ def init_unified_voice(model: UnifiedVoice, rng, host_side: bool | None = None) 
         fan_in = int(np.prod(shape[:-1])) if len(shape) >= 2 else max(shape[-1], 1)
         return normal(1.0 / np.sqrt(fan_in), shape, dtype)
 
-    return jax.tree_util.tree_map_with_path(fill, shapes)
+    from collections.abc import Mapping
+
+    def walk(d, path=()):
+        from jax.tree_util import DictKey
+
+        return {k: (walk(v, path + (DictKey(k),)) if isinstance(v, Mapping)
+                    else fill(path + (DictKey(k),), v, d))
+                for k, v in d.items()}
+
+    return walk(shapes)
 
 
 def _xent(logits, targets):

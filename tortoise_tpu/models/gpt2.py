@@ -41,11 +41,57 @@ class GPT2Config:
     n_embd: int = 1024
     n_head: int = 16
     ln_eps: float = 1e-5
+    # weight-only int8 for the block dense kernels (QuantDense). Params carry
+    # {kernel int8, qscale f32, bias f32}; convert full-precision checkpoints
+    # with weights.quantize_gpt_weights.
+    quant_weights: bool = False
 
 
 def gelu_new(x):
     # HF "gelu_new": tanh approximation used by GPT-2.
     return 0.5 * x * (1.0 + jnp.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+def _int8_kernel_init(key, shape):
+    return jax.random.randint(key, shape, -127, 128, jnp.int32).astype(jnp.int8)
+
+
+class QuantDense(nn.Module):
+    """Weight-only int8 dense with per-output-channel symmetric scales.
+
+    Small-batch decode is weight-bandwidth-bound (the 30-layer stack reads
+    ~755 MB of bf16 kernels per token at any batch size), so halving the
+    kernel bytes directly buys streaming / low-batch throughput. The int8
+    kernel feeds the matmul through a fused convert-on-read; ``qscale``
+    applies to the f32 accumulator after the contraction, so there is no
+    dequantized copy in HBM. This is the weight-side twin of the int8 KV
+    cache (ops/attention.py) and the TPU counterpart of DeepSpeed's
+    quantized kernel injection (reference autoregressive.py:379-392).
+    """
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", _int8_kernel_init, (in_f, self.features))
+        # default qscale mimics lecun-normal magnitude (random-weight runs)
+        qscale = self.param(
+            "qscale",
+            lambda _, s: jnp.full(s, 1.0 / (127.0 * np.sqrt(in_f)), jnp.float32),
+            (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        y = jax.lax.dot_general(x.astype(self.dtype), kernel.astype(self.dtype),
+                                (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y * qscale + bias).astype(self.dtype)
+
+
+def _dense(cfg: GPT2Config, features: int, dtype, name: str):
+    if cfg.quant_weights:
+        return QuantDense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, param_dtype=jnp.float32, name=name)
 
 
 class GPT2Attention(nn.Module):
@@ -62,7 +108,7 @@ class GPT2Attention(nn.Module):
         cfg = self.config
         b, t, c = x.shape
         h, dh = cfg.n_head, c // cfg.n_head
-        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="c_attn")(x)
+        qkv = _dense(cfg, 3 * c, self.dtype, "c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)                  # each (B, T, C)
 
         if cache is not None:
@@ -146,7 +192,7 @@ class GPT2Attention(nn.Module):
             out = jnp.einsum("bhts,bhsd->bhtd", w, vh)
             out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
 
-        out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj")(out)
+        out = _dense(cfg, c, self.dtype, "c_proj")(out)
         return out, cache
 
 
@@ -164,11 +210,9 @@ class GPT2Block(nn.Module):
         x = x + attn_out
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="ln_2")(x.astype(jnp.float32)).astype(self.dtype)
-        h = nn.Dense(4 * cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="mlp_fc")(h)
+        h = _dense(cfg, 4 * cfg.n_embd, self.dtype, "mlp_fc")(h)
         h = gelu_new(h)
-        h = nn.Dense(cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="mlp_proj")(h)
+        h = _dense(cfg, cfg.n_embd, self.dtype, "mlp_proj")(h)
         return x + h, cache
 
 

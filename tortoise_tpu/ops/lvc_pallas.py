@@ -9,7 +9,16 @@ and that frame's predicted kernel are loaded, the (hop, K*Ci) patch matrix
 is built in-register and hits the MXU against the (K*Ci, Co) kernel matrix.
 
 Grid: (B, F). Tests run the kernel in interpreter mode on CPU; the vocoder
-uses it on TPU via ``use_pallas=True``.
+can force it on TPU via ``use_pallas=True``.
+
+MEASURED CONCLUSION (v5e, composed UnivNet forward at F=937, resident
+params): 46.9 ms with this kernel at the hop-256 block vs 13.0 ms with the
+XLA shifted-reshape formulation (models/vocoder.py) — the (hop+K-1, Ci=32)
+blocks fill only a quarter of each 128-lane tile and the 937-step grid
+cannot amortize that, so the XLA form is the production default and this
+kernel stays as measured groundwork. Standalone per-op timings through the
+tunneled TPU are unreliable (dispatch queuing); trust only composed
+whole-model numbers (tools/bench_lvc.py documents both).
 """
 from __future__ import annotations
 
@@ -22,18 +31,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lvc_kernel(x_ref, k_ref, b_ref, o_ref, *, hop: int, ksize: int, ci: int,
+def _lvc_kernel(x_ref, k_ref, o_ref, *, hop: int, ksize: int, ci: int,
                 co: int):
     # x_ref: (1, 1, hop + ksize - 1, ci) frame segment with halo
-    # k_ref: (1, 1, ci, co, ksize); b_ref: (1, 1, co); o_ref: (1, hop, co)
+    # k_ref: (1, 1, ci, co, ksize); o_ref: (1, hop, co)
     x = x_ref[0, 0]                                 # (hop+K-1, Ci)
-    # (hop, K*Ci) patch matrix: column block k holds x[k : k+hop].
-    cols = [x[k:k + hop, :] for k in range(ksize)]  # static K, static slices
-    patches = jnp.concatenate(cols, axis=-1)        # (hop, K*Ci)
     kern = k_ref[0, 0]                              # (Ci, Co, K)
-    kmat = jnp.transpose(kern, (2, 0, 1)).reshape(ksize * ci, co)
-    acc = jnp.dot(patches, kmat, preferred_element_type=jnp.float32)
-    o_ref[0] = (acc + b_ref[0, 0][None, :]).astype(o_ref.dtype)
+    # sum over taps of a shifted (hop, Ci) @ (Ci, Co) matmul — Mosaic cannot
+    # concatenate sublane-shifted slices into one (hop, K*Ci) patch matrix
+    # ("offset mismatch on non-concat dimension"), but shifted loads feeding
+    # separate MXU ops lower fine
+    acc = jnp.zeros((hop, co), jnp.float32)
+    for k in range(ksize):
+        acc = acc + jnp.dot(x[k:k + hop, :], kern[:, :, k],
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("hop", "interpret"))
@@ -62,11 +74,12 @@ def location_variable_convolution_pallas(x: jnp.ndarray, kernels: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ci, co, k), lambda bi, fi: (bi, fi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, co), lambda bi, fi: (bi, fi, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, hop, co), lambda bi, fi: (bi, fi, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xw, kernels, bias)
-    return out
+    )(xw, kernels)
+    # the per-frame bias stays an XLA elementwise add (a (1, 1, Co) VMEM
+    # block is not a legal Mosaic tile; XLA fuses this into the output write)
+    out = out.reshape(b, f, hop, co) + bias[:, :, None, :].astype(out.dtype)
+    return out.reshape(b, f * hop, co)

@@ -125,11 +125,46 @@ def cast_for_inference(params: dict, dtype) -> dict:
         name = "/".join(getattr(p, "key", str(p)) for p in path)
         if leaf.dtype != np.float32 and leaf.dtype != jnp.float32:
             return leaf
-        if any(k in name for k in ("Norm", "norm", "ln_")):
+        if any(k in name for k in ("Norm", "norm", "ln_", "qscale")):
             return leaf
         return jnp.asarray(leaf, dtype)
 
     return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def quantize_gpt_weights(params: dict) -> dict:
+    """Per-output-channel symmetric int8 quantization of the GPT stack's
+    block dense kernels (c_attn/c_proj/mlp_fc/mlp_proj), for
+    ``quant_weights=True`` models (gpt2.QuantDense). Each kernel
+    ((in, out) or scan-stacked (L, in, out)) becomes {kernel int8,
+    qscale f32 per output channel}; biases/norms/embeddings are untouched.
+    Already-int8 kernels (random QuantDense init) pass through."""
+    import jax
+
+    quant_names = {"c_attn", "c_proj", "mlp_fc", "mlp_proj"}
+
+    def quantize_one(sub: dict) -> dict:
+        k = np.asarray(jax.device_get(sub["kernel"]), np.float32)
+        s = np.maximum(np.abs(k).max(axis=-2), 1e-12) / 127.0   # over in axis
+        q = np.clip(np.round(k / s[..., None, :]), -127, 127).astype(np.int8)
+        out = dict(sub)
+        out["kernel"] = q
+        out["qscale"] = s.astype(np.float32)
+        return out
+
+    def walk(d, name=""):
+        if not isinstance(d, dict):
+            return d
+        if name in quant_names and "kernel" in d:
+            if np.asarray(d["kernel"]).dtype == np.int8:
+                return d
+            return quantize_one(d)
+        return {k: walk(v, k) for k, v in d.items()}
+
+    out = dict(params)
+    if "gpt" in out:
+        out["gpt"] = walk(out["gpt"])
+    return out
 
 
 def host_init(shape_fn, seed: int = 0) -> dict:
@@ -143,9 +178,15 @@ def host_init(shape_fn, seed: int = 0) -> dict:
     shapes = jax.eval_shape(shape_fn)
     gen = np.random.Generator(np.random.SFC64(seed))
 
-    def fill(path, sd):
-        name = getattr(path[-1], "key", str(path[-1]))
+    def fill(name, sd, siblings):
         shape, dtype = sd.shape, sd.dtype
+        if name == "qscale":
+            # QuantDense scale: mimic lecun-normal magnitude against the
+            # sibling int8 kernel's uniform [-127, 127] fill
+            in_f = siblings["kernel"].shape[-2]
+            return np.full(shape, 1.0 / (127.0 * np.sqrt(in_f)), dtype)
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            return gen.integers(-127, 128, shape).astype(dtype)
         if name in ("bias", "b"):
             return np.zeros(shape, dtype)
         if name in ("scale", "g"):
@@ -160,7 +201,13 @@ def host_init(shape_fn, seed: int = 0) -> dict:
         return (gen.standard_normal(shape, dtype=np.float32)
                 / np.sqrt(fan_in)).astype(dtype)
 
-    return jax.tree_util.tree_map_with_path(fill, shapes)
+    from collections.abc import Mapping
+
+    def walk(d):
+        return {k: (walk(v) if isinstance(v, Mapping) else fill(k, v, d))
+                for k, v in d.items()}
+
+    return walk(shapes)
 
 
 def save_params_safetensors(path: str, params: dict) -> None:
