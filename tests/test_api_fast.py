@@ -213,3 +213,20 @@ def test_bucketed_hifi_decode_matches_exact(tts):
                                        jnp.asarray(_expected_samples(n) // 256)))
     exact = exact[:, :_expected_samples(n), 0][:, None, :]
     np.testing.assert_allclose(bucketed, exact, rtol=2e-4, atol=2e-4)
+
+
+def test_tts_int8_weights_end_to_end():
+    """gpt_weights="int8" (gpt2.QuantDense): the fast path synthesizes a
+    finite clip of the same shape contract as full precision."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        qtts = TextToSpeechFast(
+            dtype=jnp.float32, gpt_weights="int8",
+            ar_config=UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                                         max_text_tokens=60, max_mel_tokens=80),
+            latent_bucket=16)
+    assert qtts.autoregressive.config.quant_weights
+    wav = qtts.tts("Quantized weights test.", use_deterministic_seed=3,
+                   max_mel_tokens=48, verbose=False)
+    assert wav.ndim == 3 and wav.shape[2] % 256 == 0
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0

@@ -50,8 +50,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--tokens", type=int, default=64)
+    ap.add_argument("--cache-dtype", default="bf16", choices=["bf16", "int8"])
     args = ap.parse_args()
     b, n = args.batch, args.tokens
+    cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[args.cache_dtype]
 
     cfg = UnifiedVoiceConfig()
     model = UnifiedVoice(cfg, dtype=jnp.bfloat16)
@@ -64,7 +66,7 @@ def main():
     prompt = jnp.zeros((b, 30, cfg.model_dim), jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     carry, _, _ = ar_sampler._prefill(model, variables, prompt, rng,
-                                      settings, jnp.bfloat16)
+                                      settings, cache_dtype)
 
     # (a) full sampler segment
     def seg(k):
@@ -98,7 +100,7 @@ def main():
     for mg in (200, 1200):
         st = ar_sampler.SamplerSettings(max_generate=mg)
         carry2, _, _ = ar_sampler._prefill(model, variables, prompt, rng,
-                                           st, jnp.bfloat16)
+                                           st, cache_dtype)
         t_max2 = carry2[0]["k"].shape[2]
 
         def tfm2(k, _c=carry2):
