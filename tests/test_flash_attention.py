@@ -167,3 +167,32 @@ def test_pallas_merged_decode_matches_xla_twin():
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                    rtol=1e-2, atol=1e-2)
         assert jnp.array_equal(k1, k2) and jnp.array_equal(v1, v2)
+
+
+def test_merged_decode_attention_int8_scales():
+    """int8 cache + per-(position, head) scales: scale factoring inside the
+    merged flash-decode equals explicit dequantization outside it."""
+    from tortoise_tpu.ops.attention import chunked_decode_attention_merged
+
+    L, B, T, H, DH = 2, 2, 512, 4, 64
+    C = H * DH
+    rng = np.random.default_rng(6)
+    ck8 = rng.integers(-127, 128, (L, B, T, C)).astype(np.int8)
+    cv8 = rng.integers(-127, 128, (L, B, T, C)).astype(np.int8)
+    ks = (np.abs(rng.standard_normal((L, B, T, H))) * 0.02 + 1e-3).astype(np.float32)
+    vs = (np.abs(rng.standard_normal((L, B, T, H))) * 0.02 + 1e-3).astype(np.float32)
+    q = rng.standard_normal((B, C)).astype(np.float32)
+
+    # explicit dequant -> float cache, no scales
+    ckf = (ck8.reshape(L, B, T, H, DH) * ks[..., None]).reshape(L, B, T, C)
+    cvf = (cv8.reshape(L, B, T, H, DH) * vs[..., None]).reshape(L, B, T, C)
+
+    for li, pos in [(0, 30), (1, 400)]:
+        got = chunked_decode_attention_merged(
+            jnp.asarray(q), jnp.asarray(ck8), jnp.asarray(cv8), li, pos,
+            heads=H, k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs))
+        want = chunked_decode_attention_merged(
+            jnp.asarray(q), jnp.asarray(ckf.astype(np.float32)),
+            jnp.asarray(cvf.astype(np.float32)), li, pos, heads=H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)

@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--disable-redaction", action="store_true")
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--kv-cache-dtype", type=str, default="bf16",
+                        choices=["bf16", "int8", "f32"],
+                        help="int8 halves decode HBM traffic and doubles the "
+                             "candidate batch (bounded quantization error)")
+    parser.add_argument("--gpt-weights", type=str, default="bf16",
+                        choices=["bf16", "int8"],
+                        help="int8 weight-only GPT kernels (faster small-batch "
+                             "decode, bounded error)")
     for flag, typ in [("--num-autoregressive-samples", int), ("--temperature", float),
                       ("--length-penalty", float), ("--repetition-penalty", float),
                       ("--top-p", float), ("--max-mel-tokens", int),
@@ -95,6 +103,8 @@ def main(argv=None):
 
     tts = TextToSpeech(models_dir=args.models_dir,
                        autoregressive_batch_size=args.batch_size,
+                       kv_cache_dtype=args.kv_cache_dtype,
+                       gpt_weights=args.gpt_weights,
                        enable_redaction=not args.disable_redaction and "[" in text)
 
     regenerate = [int(x) for x in args.regenerate.split(",")] if args.regenerate else None

@@ -94,7 +94,7 @@ def chunked_decode_attention_layered(q: jnp.ndarray, ck: jnp.ndarray,
 
 
 def chunked_decode_attention_merged(q, ck, cv, layer_idx, cache_index, *,
-                                    heads: int, chunk: int = 256,
+                                    heads: int, chunk: int = 128,
                                     k_scale=None, v_scale=None):
     """Flash-decode over the merged-channel (L, B, T_max, C) cache.
 
@@ -105,9 +105,16 @@ def chunked_decode_attention_merged(q, ck, cv, layer_idx, cache_index, *,
     block-diagonal matmul per chunk, PV accumulates the full (H, C) product
     and extracts its (h, h*dh) block diagonal once at the end. Returns
     (B, C) attention output in q.dtype.
+
+    Always a dynamic-trip ``fori_loop``, even when the cache is a single
+    chunk: running the body once statically lets XLA fuse the read with the
+    same step's cache write, which measured 6.18 vs 4.23 ms/tok composed in
+    the 30-layer decode (B=64, T=256, int8, v5e). chunk=128 is the composed
+    optimum across fill levels (128 vs 256 indifferent at T_max=1280).
     """
     lcount, b, t_max, c = ck.shape
     dh = c // heads
+    chunk = min(chunk, t_max)
     n = cache_index + 1
     n_chunks = (n + chunk - 1) // chunk
     scale = 1.0 / np.sqrt(dh)
@@ -151,10 +158,7 @@ def chunked_decode_attention_merged(q, ck, cv, layer_idx, cache_index, *,
     init = (jnp.full((b, heads), NEG_INF, jnp.float32),
             jnp.zeros((b, heads), jnp.float32),
             jnp.zeros((b, heads, c), jnp.float32))
-    if t_max <= chunk:
-        m, l, acc = body(0, init)
-    else:
-        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
     diag = acc.reshape(b, heads, heads, dh)
     out = jnp.einsum("bhhd->bhd", diag) / l[..., None]
     return out.reshape(b, c).astype(q.dtype)
