@@ -48,33 +48,36 @@ def main():
     def sync(x):
         np.asarray(jax.tree_util.tree_leaves(x)[-1])
 
-    def time_chain(make_step, label, *extra):
+    def time_chain(step_fn, label, biases):
+        # params/biases are explicit jit args — closed-over device arrays
+        # bake multi-100MB constants into the HLO (remote compile rejects it)
         @functools.partial(jax.jit, static_argnums=(0,))
-        def chain(n, x):
+        def chain(n, x, p_, pre_, biases_):
             def body(xc, _):
-                y = make_step(xc, *extra)
+                y = step_fn(p_, xc, pre_, biases_)
                 return (xc + 1e-3 * y[..., :x.shape[-1]]).astype(x.dtype), ()
             xc, _ = jax.lax.scan(body, x, None, length=n)
             return xc
 
-        sync(chain(N, x0))
-        t0 = time.perf_counter(); sync(chain(N, x0))
-        t1 = time.perf_counter(); sync(chain(3 * N, x0))
+        sync(chain(N, x0, p, pre, biases))       # compile N
+        sync(chain(3 * N, x0, p, pre, biases))   # compile 3N
+        t0 = time.perf_counter(); sync(chain(N, x0, p, pre, biases))
+        t1 = time.perf_counter(); sync(chain(3 * N, x0, p, pre, biases))
         t2 = time.perf_counter()
         ms = ((t2 - t1) - (t1 - t0)) / (2 * N) * 1e3
         print(f"{label:34s} {ms:7.2f} ms/step")
 
+    def step(p_, x, pre_, biases_):
+        return m.apply(p_, x, ts, precomputed_aligned_embeddings=pre_,
+                       rel_biases=biases_, valid_len=vl)
+
     # (a) full forward, flash bias tiles (production TPU path)
     tiles = compute_rel_bias_blocks(p["params"], cfg, T, dtype=jnp.bfloat16)
-    time_chain(lambda x: m.apply(p, x, ts, precomputed_aligned_embeddings=pre,
-                                 rel_biases=tiles, valid_len=vl),
-               "full fwd (flash bias tiles)")
+    time_chain(step, "full fwd (flash bias tiles)", tiles)
 
     # (b) full forward, dense precomputed biases
     dense = compute_rel_biases(p["params"], cfg, T, dtype=jnp.bfloat16)
-    time_chain(lambda x: m.apply(p, x, ts, precomputed_aligned_embeddings=pre,
-                                 rel_biases=dense, valid_len=vl),
-               "full fwd (dense biases)")
+    time_chain(step, "full fwd (dense biases)", dense)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,43 @@ def norm_num_groups(channels: int) -> int:
     return groups
 
 
+class MatmulConv1D(nn.Module):
+    """'same'-padded 1-D conv as K shifted matmuls (drop-in for ``nn.Conv``).
+
+    Param names/shapes match ``nn.Conv`` (kernel (K, Cin, Cout), bias
+    (Cout,)), so converted checkpoints load unchanged. Rationale: for the
+    diffusion decoder's (B=2, T, C=1024) activations XLA lowers
+    ``conv_general_dilated`` with batch-as-sublanes (a (2, 128)-tiled
+    layout, 4x sublane waste) plus a relayout of the input — 208 us per
+    layer-step on v5e, the single hottest op in the sampling loop. The
+    shifted-matmul form keeps the natural (8, 128) layout and feeds the
+    MXU directly (trace: tools/profile_diffusion_step.py).
+    """
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, ci = x.shape
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(
+            in_axis=(0, 1), out_axis=2), (k, ci, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        pad = (k - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        y = jnp.broadcast_to(bias.astype(jnp.float32),
+                             (b, t, self.features))
+        kern = kernel.astype(self.dtype)
+        for tap in range(k):
+            xk = jax.lax.dynamic_slice_in_dim(xp, tap, t, 1)
+            y = y + jax.lax.dot_general(xk.astype(self.dtype), kern[tap],
+                                        (((2,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        return y.astype(self.dtype)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm evaluated in float32 regardless of activation dtype.
 

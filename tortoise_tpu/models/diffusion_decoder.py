@@ -23,7 +23,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from tortoise_tpu.models.blocks import AttentionBlock, GroupNorm32
+from tortoise_tpu.models.blocks import (AttentionBlock, GroupNorm32,
+                                        MatmulConv1D)
 from tortoise_tpu.ops.interpolate import nearest_interpolate
 
 
@@ -67,8 +68,10 @@ class TimestepResBlock(nn.Module):
             # zero pads so the k3 conv at the boundary sees the same zeros an
             # unpadded (zero-padded) run would
             h = h * valid_mask[:, :, None].astype(h.dtype)
-        h = nn.Conv(out_ch, (self.kernel_size,), padding=pad, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="out_conv")(h)
+        # shifted-matmul conv: same params as nn.Conv, avoids the
+        # batch-as-sublanes conv layout (blocks.MatmulConv1D)
+        h = MatmulConv1D(out_ch, self.kernel_size, dtype=self.dtype,
+                         name="out_conv")(h)
         if out_ch == self.channels:
             skip = x
         else:
