@@ -97,3 +97,37 @@ def test_pick_batch_size_doubles_for_int8():
 
     assert pick_best_batch_size_for_device(FakeDev()) == 32
     assert pick_best_batch_size_for_device(FakeDev(), kv_cache_dtype="int8") == 64
+
+
+def test_t_major_cache_matches_b_major():
+    """The T-major candidate-batch cache layout (keys k_tm/v_tm, write as a
+    contiguous slab) produces the same decode outputs as the B-major layout
+    on the same model/inputs (prefill + cached steps), bf16 and int8."""
+    from tortoise_tpu.models.gpt2 import GPT2Stack
+
+    cfg = GPT2Config(n_layer=2, n_embd=128, n_head=4)
+    stack = GPT2Stack(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    emb = jax.random.normal(rng, (2, 7, 128))
+    step_in = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 128))
+    variables = stack.init(jax.random.PRNGKey(1), emb)
+
+    for dt in (jnp.float32, jnp.int8):
+        outs = {}
+        for tm in (False, True):
+            cache = init_kv_cache(cfg, 2, 256, dtype=dt, t_major=tm)
+            y0, cache = stack.apply(variables, emb, cache=cache, cache_index=0)
+            y1, cache = stack.apply(variables, step_in, cache=cache, cache_index=7)
+            y2, _ = stack.apply(variables, step_in, cache=cache, cache_index=8)
+            outs[tm] = (np.asarray(y0), np.asarray(y1), np.asarray(y2))
+        for a, b in zip(outs[False], outs[True]):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_layout_selection():
+    cfg = GPT2Config(n_layer=2, n_embd=64, n_head=2)
+    default = init_kv_cache(cfg, 32, 256)
+    tm = init_kv_cache(cfg, 32, 256, t_major=True)
+    # B-major is the production default (T-major measured no composed win)
+    assert set(default) == {"k", "v"} and default["k"].shape == (2, 32, 256, 64)
+    assert set(tm) == {"k_tm", "v_tm"} and tm["k_tm"].shape == (2, 256, 32, 64)

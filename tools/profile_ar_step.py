@@ -101,7 +101,9 @@ def main():
         st = ar_sampler.SamplerSettings(max_generate=mg)
         carry2, _, _ = ar_sampler._prefill(model, variables, prompt, rng,
                                            st, cache_dtype)
-        t_max2 = carry2[0]["k"].shape[2]
+        cache2 = carry2[0]
+        t_max2 = (cache2["k_tm"].shape[1] if "k_tm" in cache2
+                  else cache2["k"].shape[2])
 
         def tfm2(k, _c=carry2):
             return lambda: transformer_only(variables, _c, k)

@@ -106,11 +106,10 @@ def _prefill(model, variables, prompt, rng, settings: SamplerSettings, cache_dty
     cache_len = -(-(p_len + settings.max_generate) // 256) * 256
     cache = init_kv_cache(cfg.gpt_config, b, cache_len, dtype=cache_dtype)
     if cache_sharding is not None:
-        # pin the (L, B, T, C) buffers: batch over dp, channels over tp —
-        # without this GSPMD can leave the preallocated cache replicated and
-        # gather it every step (parallel/sharding.kv_cache_sharding)
-        cache = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, cache_sharding), cache)
+        # pin the cache buffers: batch over dp, channels over tp — without
+        # this GSPMD can leave the preallocated cache replicated and gather
+        # it every step (parallel/sharding.KVCacheSharding, key/layout-aware)
+        cache = cache_sharding.apply(cache)
 
     hidden, cache = model.apply(variables, prompt, cache, 0,
                                 method=UnifiedVoice.gpt_with_cache)

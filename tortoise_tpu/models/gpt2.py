@@ -112,9 +112,21 @@ class GPT2Attention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)                  # each (B, T, C)
 
         if cache is not None:
-            kc = cache["k"]
-            quantized = "k_scale" in cache
-            at = (layer_idx, 0, cache_index, 0)
+            # layout by key: "k"/"v" = B-major (L, B, T, C) — tile-exact
+            # reads at any B, the small-batch/streaming choice; "k_tm"/"v_tm"
+            # = T-major (L, T, B, C) — the decode row write is a contiguous
+            # (B, C) slab instead of a 32x-amplified read-modify-write
+            # (measured 4.99 -> 0.018 ms/step for the 30 writes at B=64/int8
+            # on v5e), the candidate-batch choice (init_kv_cache auto-picks).
+            tm = "k_tm" in cache
+            kname, vname = ("k_tm", "v_tm") if tm else ("k", "v")
+            kc = cache[kname]
+            quantized = f"{kname}_scale" in cache
+            at = (layer_idx, cache_index, 0, 0) if tm else (layer_idx, 0, cache_index, 0)
+
+            def to_cache_axes(x_):  # (B, t, ...) -> write-shaped block
+                return jnp.swapaxes(x_, 0, 1)[None] if tm else x_[None]
+
             if quantized:
                 # int8 KV cache: per-(batch, position, head) symmetric scales.
                 # Halves decode HBM traffic vs bf16 — the AR decode is
@@ -128,47 +140,57 @@ class GPT2Attention(nn.Module):
 
                 k_w, k_s = quant(k)
                 v_w, v_s = quant(v)
-                cache = {
-                    "k": jax.lax.dynamic_update_slice(cache["k"], k_w[None], at),
-                    "v": jax.lax.dynamic_update_slice(cache["v"], v_w[None], at),
-                    "k_scale": jax.lax.dynamic_update_slice(
-                        cache["k_scale"], k_s[None].astype(cache["k_scale"].dtype), at),
-                    "v_scale": jax.lax.dynamic_update_slice(
-                        cache["v_scale"], v_s[None].astype(cache["v_scale"].dtype), at),
-                }
+                sdt = cache[f"{kname}_scale"].dtype
+                cache = dict(cache)
+                cache[kname] = jax.lax.dynamic_update_slice(
+                    cache[kname], to_cache_axes(k_w), at)
+                cache[vname] = jax.lax.dynamic_update_slice(
+                    cache[vname], to_cache_axes(v_w), at)
+                cache[f"{kname}_scale"] = jax.lax.dynamic_update_slice(
+                    cache[f"{kname}_scale"], to_cache_axes(k_s).astype(sdt), at)
+                cache[f"{vname}_scale"] = jax.lax.dynamic_update_slice(
+                    cache[f"{vname}_scale"], to_cache_axes(v_s).astype(sdt), at)
             else:
-                cache = {
-                    "k": jax.lax.dynamic_update_slice(
-                        cache["k"], k[None].astype(kc.dtype), at),
-                    "v": jax.lax.dynamic_update_slice(
-                        cache["v"], v[None].astype(kc.dtype), at),
-                }
-            if t == 1 and kc.shape[2] % 256 == 0:
+                cache = dict(cache)
+                cache[kname] = jax.lax.dynamic_update_slice(
+                    cache[kname], to_cache_axes(k).astype(kc.dtype), at)
+                cache[vname] = jax.lax.dynamic_update_slice(
+                    cache[vname], to_cache_axes(v).astype(kc.dtype), at)
+            t_axis = 1 if tm else 2
+            if t == 1 and kc.shape[t_axis] % 256 == 0:
                 # flash-decode: dynamic-trip-count chunked online softmax —
                 # only the valid cache prefix is read, straight off the
                 # tile-exact merged layout (ops/attention.py)
-                from tortoise_tpu.ops.attention import chunked_decode_attention_merged
+                from tortoise_tpu.ops.attention import (
+                    chunked_decode_attention_merged,
+                    chunked_decode_attention_tmajor)
 
-                out = chunked_decode_attention_merged(
-                    q[:, 0], cache["k"], cache["v"], layer_idx, cache_index,
-                    heads=h, k_scale=cache.get("k_scale"),
-                    v_scale=cache.get("v_scale"))[:, None, :]  # (B, 1, C)
+                decode = (chunked_decode_attention_tmajor if tm
+                          else chunked_decode_attention_merged)
+                out = decode(
+                    q[:, 0], cache[kname], cache[vname], layer_idx, cache_index,
+                    heads=h, k_scale=cache.get(f"{kname}_scale"),
+                    v_scale=cache.get(f"{vname}_scale"))[:, None, :]  # (B, 1, C)
             else:
                 # prefill / teacher-forced: read the cache prefix back and run
                 # plain masked attention (one-time relayout to per-head form)
                 def _layer(name):
                     x_ = jax.lax.dynamic_index_in_dim(cache[name], layer_idx, 0,
                                                       keepdims=False)
+                    if tm:
+                        x_ = jnp.swapaxes(x_, 0, 1)            # -> (B, T, C/H)
                     t_max = x_.shape[1]
                     x_ = x_.reshape(b, t_max, h, dh)
                     if quantized:
                         s = jax.lax.dynamic_index_in_dim(
                             cache[f"{name}_scale"], layer_idx, 0, keepdims=False)
+                        if tm:
+                            s = jnp.swapaxes(s, 0, 1)
                         x_ = x_.astype(jnp.float32) * s[..., None]
                     return x_.transpose(0, 2, 1, 3)            # (B, H, T_max, Dh)
 
-                ck = _layer("k")
-                cv = _layer("v")
+                ck = _layer(kname)
+                cv = _layer(vname)
                 t_max = ck.shape[2]
                 qh = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
                 key_pos = jnp.arange(t_max)[None, :]                 # (1, T_max)
@@ -265,19 +287,39 @@ class GPT2Stack(nn.Module):
 
 
 def init_kv_cache(config: GPT2Config, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> dict[str, jnp.ndarray]:
-    """Preallocated layered cache, merged-channel layout (L, B, T_max, C).
+                  dtype=jnp.bfloat16,
+                  t_major: bool | None = None) -> dict[str, jnp.ndarray]:
+    """Preallocated layered cache, merged-channel layout.
 
     The C = n_embd minor dim is lane-tile-exact (1024 = 8 x 128), so reads
     move exactly the logical bytes; a per-head (..., T, Dh=64) layout
     physically pads every tile 2x (ops/attention.py header for the
     measurement). ``dtype=jnp.int8`` selects the quantized cache: int8
-    buffers plus float32 per-(layer, batch, position, head) symmetric scales
-    (~0.53x the bytes of bf16)."""
-    shape = (config.n_layer, batch, max_len, config.n_embd)
-    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-    if dtype == jnp.int8:
+    buffers plus float32 per-(layer, position, head) symmetric scales
+    (~0.53x the bytes of bf16).
+
+    Two layouts (GPT2Attention dispatches on the key names):
+    * B-major (L, B, T_max, C), keys "k"/"v" — tile-exact reads at any
+      batch; the production default;
+    * T-major (L, T_max, B, C), keys "k_tm"/"v_tm" — the per-step row write
+      is a contiguous (B, C) slab instead of a 32x-amplified
+      read-modify-write (4.99 -> 0.018 ms/step standalone for 30 writes at
+      B=64/int8 on v5e). MEASURED COMPOSED: no win — XLA hides the
+      amplified writes behind the step's matmuls (4.27 vs 4.25 ms/tok), and
+      reads pad 16x below B=16 — so it stays an option, not the default.
+    """
+    if t_major is None:
+        t_major = False
+    if t_major:
+        shape = (config.n_layer, max_len, batch, config.n_embd)
         sshape = shape[:-1] + (config.n_head,)
-        cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
-        cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
+        keys = ("k_tm", "v_tm")
+    else:
+        shape = (config.n_layer, batch, max_len, config.n_embd)
+        sshape = shape[:-1] + (config.n_head,)
+        keys = ("k", "v")
+    cache = {keys[0]: jnp.zeros(shape, dtype), keys[1]: jnp.zeros(shape, dtype)}
+    if dtype == jnp.int8:
+        cache[f"{keys[0]}_scale"] = jnp.zeros(sshape, jnp.float32)
+        cache[f"{keys[1]}_scale"] = jnp.zeros(sshape, jnp.float32)
     return cache

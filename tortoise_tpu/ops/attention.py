@@ -162,3 +162,74 @@ def chunked_decode_attention_merged(q, ck, cv, layer_idx, cache_index, *,
     diag = acc.reshape(b, heads, heads, dh)
     out = jnp.einsum("bhhd->bhd", diag) / l[..., None]
     return out.reshape(b, c).astype(q.dtype)
+
+
+def chunked_decode_attention_tmajor(q, ck, cv, layer_idx, cache_index, *,
+                                    heads: int, chunk: int = 128,
+                                    k_scale=None, v_scale=None):
+    """Flash-decode over the T-major (L, T_max, B, C) cache.
+
+    Same math as ``chunked_decode_attention_merged`` but for the layout
+    whose decode row WRITE is a contiguous, tile-exact (B, C) slab: in the
+    B-major layout a row write at fixed T touches one sublane of every
+    (32, 128) tile, a 32x read-modify-write amplification that measured
+    4.99 ms/step for the 30 writes at B=64/int8 on v5e vs 0.018 in this
+    layout. MEASURED COMPOSED: no end-to-end win (4.27 vs 4.25 ms/tok in
+    the 30-layer step) — XLA overlaps the amplified writes with the step's
+    matmuls — and reads pad 16x below B=16, so B-major stays the
+    production default (models/gpt2.init_kv_cache).
+
+    q: (B, C); ck/cv: (L, T_max, B, C); k_scale/v_scale: (L, T_max, B, H)
+    f32 for the int8 cache. Returns (B, C) in q.dtype.
+    """
+    lcount, t_max, b, c = ck.shape
+    dh = c // heads
+    chunk = min(chunk, t_max)
+    n = cache_index + 1
+    n_chunks = (n + chunk - 1) // chunk
+    scale = 1.0 / np.sqrt(dh)
+
+    lane = jnp.arange(c)[:, None]
+    head = jnp.arange(heads)[None, :]
+    qbd = jnp.where(lane // dh == head, q.astype(jnp.float32)[:, :, None], 0.0)
+
+    def body(ci, carry):
+        m, l, acc = carry
+        start = ci * chunk
+
+        def blk(buf, width):
+            return jax.lax.dynamic_slice(buf, (layer_idx, start, 0, 0),
+                                         (1, chunk, b, width))[0]
+
+        k_blk = blk(ck, c)                                     # (t, B, C)
+        v_blk = blk(cv, c)
+        # (t, B, C) x (B, C, H), batch B, contract C -> (B, t, H)
+        logits = jax.lax.dot_general(
+            k_blk.astype(jnp.float32), qbd,
+            (((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if k_scale is not None:
+            logits = logits * jnp.swapaxes(blk(k_scale, heads), 0, 1)
+        pos = start + jnp.arange(chunk)
+        logits = jnp.where(pos[None, :, None] < n, logits, NEG_INF)
+        m_new = jnp.maximum(m, logits.max(axis=1))             # (B, H)
+        p = jnp.exp(logits - m_new[:, None, :])
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=1)
+        if v_scale is not None:
+            p = p * jnp.swapaxes(blk(v_scale, heads), 0, 1)
+        # (B, H, t) x (t, B, C), batch B, contract t -> (B, H, C)
+        pv = jax.lax.dot_general(
+            jnp.swapaxes(p, 1, 2), v_blk.astype(jnp.float32),
+            (((2,), (0,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32)
+        acc_new = acc * alpha[..., None] + pv
+        return m_new, l_new, acc_new
+
+    init = (jnp.full((b, heads), NEG_INF, jnp.float32),
+            jnp.zeros((b, heads), jnp.float32),
+            jnp.zeros((b, heads, c), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
+    diag = acc.reshape(b, heads, heads, dh)
+    out = jnp.einsum("bhhd->bhd", diag) / l[..., None]
+    return out.reshape(b, c).astype(q.dtype)

@@ -34,14 +34,35 @@ def unified_voice_pspec(path: tuple[str, ...], leaf) -> P:
     return P()
 
 
-def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
-    """Decode KV cache, merged layout (L, B, T_max, C) (+ (L, B, T_max, H)
-    scales for int8): candidate batch over ``dp``, the channel/head minor
-    axis over ``tp``. Heads live wholly inside one C shard (C/tp is a
-    multiple of Dh), so a channel-sharded cache matches the tp-sharded qkv
-    projection output and attention stays embarrassingly parallel over
-    heads — GSPMD inserts no cache collectives."""
-    return NamedSharding(mesh, P(None, "dp", None, "tp"))
+class KVCacheSharding:
+    """Key-aware shardings for the decode KV cache (both layouts).
+
+    Candidate batch over ``dp``, the channel/head minor axis over ``tp``.
+    Heads live wholly inside one C shard (C/tp is a multiple of Dh), so a
+    channel-sharded cache matches the tp-sharded qkv projection output and
+    attention stays embarrassingly parallel over heads — GSPMD inserts no
+    cache collectives. B-major leaves ("k"/"v"(+_scale), (L, B, T, C|H))
+    shard dim 1 over dp; T-major leaves ("k_tm"/..., (L, T, B, C|H))
+    shard dim 2 (models/gpt2.init_kv_cache)."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def spec(self, key: str) -> P:
+        if key.startswith(("k_tm", "v_tm")):
+            return P(None, None, "dp", "tp")
+        return P(None, "dp", None, "tp")
+
+    def apply(self, cache: dict) -> dict:
+        import jax
+
+        return {k: jax.lax.with_sharding_constraint(
+            v, NamedSharding(self.mesh, self.spec(k)))
+            for k, v in cache.items()}
+
+
+def kv_cache_sharding(mesh: Mesh) -> KVCacheSharding:
+    return KVCacheSharding(mesh)
 
 
 def shard_params(params, mesh: Mesh, rules=unified_voice_pspec):
