@@ -149,20 +149,48 @@ def main():
                                   "audio_s_per_run": round(q_audio, 2),
                                   "vs_k80_baseline": round(
                                       REFERENCE_QUALITY_RTF / q_rtf, 2)}
+            detail["quality_ladder"] = ladder
+            detail["quality_ladder_runs"] = args.ladder_runs
+            del qtts
+        except Exception as e:  # keep the headline metric even if this fails
+            detail["quality_ladder_error"] = f"{type(e).__name__}: {e}"
+
+        try:
             # the int8 KV cache serving config: same standard-preset work
             # (256 candidates / 200 steps), quantized decode reads + B=64
-            del qtts
             qtts8 = TextToSpeech(half=True, kv_cache_dtype="int8")
             q_rtf, q_p50, q_audio = _measure(
                 quality_runner(qtts8, "standard", args.tokens), args.ladder_runs)
-            ladder["standard_int8kv"] = {
+            detail.setdefault("quality_ladder", {})["standard_int8kv"] = {
                 "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
                 "audio_s_per_run": round(q_audio, 2),
                 "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
-            detail["quality_ladder"] = ladder
-            detail["quality_ladder_runs"] = args.ladder_runs
+            del qtts8
+        except Exception as e:
+            detail["standard_int8kv_error"] = f"{type(e).__name__}: {e}"
+
+        # batched fast-path serving (BASELINE config 5, single-chip form):
+        # N concurrent utterances through one set of compiled programs;
+        # throughput = total audio seconds / wall second
+        try:
+            n_serve = 8
+            serve_texts = [f"{SENTENCE} Utterance number {i}." for i in range(n_serve)]
+
+            def serve(seed):
+                t0 = time.perf_counter()
+                wavs = tts.tts_batch(serve_texts, use_deterministic_seed=seed,
+                                     max_mel_tokens=tokens, verbose=False)
+                wall = time.perf_counter() - t0
+                return wall, sum(w.shape[-1] for w in wavs) / 24000.0
+
+            s_rtf, s_p50, s_audio = _measure(serve, 3)
+            detail["batched_serving"] = {
+                "utterances": n_serve,
+                "throughput_audio_s_per_s": round(1.0 / s_rtf, 2),
+                "p50_wall_s": round(s_p50, 3),
+                "audio_s_per_run": round(s_audio, 2)}
         except Exception as e:  # keep the headline metric even if this fails
-            detail["quality_ladder_error"] = f"{type(e).__name__}: {e}"
+            detail["batched_serving_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "fast_preset_rtf",

@@ -17,7 +17,6 @@ TPU-native equivalent of the reference orchestrator
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 import warnings
 
@@ -185,11 +184,9 @@ class TextToSpeech:
             # resident on device: host-numpy jit args would re-transfer per call
             return jax.device_put({"params": p}), source
 
-        cfg = ar_config or UnifiedVoiceConfig()
-        if gpt_weights == "int8" and not cfg.quant_weights:
-            # weight-only int8 GPT kernels (gpt2.QuantDense): ~half the
-            # per-token weight read; checkpoints quantized after load
-            cfg = dataclasses.replace(cfg, quant_weights=True)
+        # gpt_weights="int8": weight-only int8 GPT kernels (gpt2.QuantDense)
+        cfg = weights_lib.resolve_gpt_quant(ar_config or UnifiedVoiceConfig(),
+                                            gpt_weights)
         self.ar_cfg = cfg
         self.autoregressive = UnifiedVoice(cfg, dtype=self.dtype)
         self.ar_vars, self.ar_source = _load(

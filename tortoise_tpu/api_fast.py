@@ -99,13 +99,9 @@ class TextToSpeechFast:
                                            use_basic_cleaners=tokenizer_basic)
         self.mel_norms = mel_ops.load_mel_norms(MEL_NORMS_FILE)
 
-        cfg = ar_config or UnifiedVoiceConfig()
-        if gpt_weights == "int8" and not cfg.quant_weights:
-            # weight-only int8 GPT kernels (gpt2.QuantDense) — the B=1
-            # streaming decode is weight-bandwidth-bound, so this is the
-            # fast path's biggest single-chip lever
-            import dataclasses as _dc
-            cfg = _dc.replace(cfg, quant_weights=True)
+        # gpt_weights="int8": weight-only int8 GPT kernels (gpt2.QuantDense)
+        cfg = weights_lib.resolve_gpt_quant(ar_config or UnifiedVoiceConfig(),
+                                            gpt_weights)
         self.autoregressive = UnifiedVoice(cfg, dtype=dtype)
         p, self.ar_source = weights_lib.get_params(
             "autoregressive",

@@ -216,50 +216,17 @@ def init_unified_voice(model: UnifiedVoice, rng, host_side: bool | None = None) 
 
     import numpy as np
 
-    # No device ops on this path: trace shapes abstractly, seed from the host.
-    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
-    shapes = jax.eval_shape(lambda r: model.init(r, method=touch_all), key_spec)
+    # Host-side numpy fill (shared sibling-aware rules — qscale/int8/norms —
+    # live in weights.host_init); params transfer lazily on first apply
+    # (a 1.7 GB eager transfer through a tunneled TPU takes minutes).
+    from tortoise_tpu import weights as weights_lib
+
     if isinstance(rng, int):
         seed = rng
     else:
         seed = int(np.asarray(jax.random.key_data(rng))[-1])
-    gen = np.random.Generator(np.random.SFC64(seed))
-
-    def normal(std, shape, dtype):
-        if dtype == np.float32 or dtype == jnp.float32:
-            return gen.standard_normal(shape, dtype=np.float32) * np.float32(std)
-        return (gen.standard_normal(shape, dtype=np.float32) * std).astype(dtype)
-
-    # Params stay host-side numpy: device transfer happens lazily on first
-    # apply (a 1.7 GB eager transfer through a tunneled TPU takes minutes).
-    def fill(path, sd, siblings):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        shape, dtype = sd.shape, sd.dtype
-        if name == "qscale":
-            # QuantDense: lecun-like magnitude vs the uniform int8 kernel
-            in_f = siblings["kernel"].shape[-2]
-            return np.full(shape, 1.0 / (127.0 * np.sqrt(in_f)), dtype)
-        if np.issubdtype(np.dtype(dtype), np.integer):
-            return gen.integers(-127, 128, shape).astype(dtype)
-        if name in ("bias", "b"):
-            return np.zeros(shape, dtype)
-        if name in ("scale", "g"):
-            return np.ones(shape, dtype)
-        if name == "embedding":
-            return normal(0.02, shape, dtype)
-        fan_in = int(np.prod(shape[:-1])) if len(shape) >= 2 else max(shape[-1], 1)
-        return normal(1.0 / np.sqrt(fan_in), shape, dtype)
-
-    from collections.abc import Mapping
-
-    def walk(d, path=()):
-        from jax.tree_util import DictKey
-
-        return {k: (walk(v, path + (DictKey(k),)) if isinstance(v, Mapping)
-                    else fill(path + (DictKey(k),), v, d))
-                for k, v in d.items()}
-
-    return walk(shapes)
+    return weights_lib.host_init(
+        lambda: model.init(jax.random.PRNGKey(0), method=touch_all), seed=seed)
 
 
 def _xent(logits, targets):

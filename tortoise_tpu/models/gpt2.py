@@ -116,8 +116,9 @@ class GPT2Attention(nn.Module):
             # reads at any B, the small-batch/streaming choice; "k_tm"/"v_tm"
             # = T-major (L, T, B, C) — the decode row write is a contiguous
             # (B, C) slab instead of a 32x-amplified read-modify-write
-            # (measured 4.99 -> 0.018 ms/step for the 30 writes at B=64/int8
-            # on v5e), the candidate-batch choice (init_kv_cache auto-picks).
+            # (measured 4.99 -> 0.018 ms/step standalone for the 30 writes at
+            # B=64/int8 on v5e, but no composed win: XLA hides the writes
+            # behind the matmuls, so B-major stays the default).
             tm = "k_tm" in cache
             kname, vname = ("k_tm", "v_tm") if tm else ("k", "v")
             kc = cache[kname]
@@ -288,14 +289,14 @@ class GPT2Stack(nn.Module):
 
 def init_kv_cache(config: GPT2Config, batch: int, max_len: int,
                   dtype=jnp.bfloat16,
-                  t_major: bool | None = None) -> dict[str, jnp.ndarray]:
+                  t_major: bool = False) -> dict[str, jnp.ndarray]:
     """Preallocated layered cache, merged-channel layout.
 
     The C = n_embd minor dim is lane-tile-exact (1024 = 8 x 128), so reads
     move exactly the logical bytes; a per-head (..., T, Dh=64) layout
     physically pads every tile 2x (ops/attention.py header for the
     measurement). ``dtype=jnp.int8`` selects the quantized cache: int8
-    buffers plus float32 per-(layer, position, head) symmetric scales
+    buffers plus float32 per-(layer, batch, position, head) symmetric scales
     (~0.53x the bytes of bf16).
 
     Two layouts (GPT2Attention dispatches on the key names):
@@ -308,8 +309,6 @@ def init_kv_cache(config: GPT2Config, batch: int, max_len: int,
       amplified writes behind the step's matmuls (4.27 vs 4.25 ms/tok), and
       reads pad 16x below B=16 — so it stays an option, not the default.
     """
-    if t_major is None:
-        t_major = False
     if t_major:
         shape = (config.n_layer, max_len, batch, config.n_embd)
         sshape = shape[:-1] + (config.n_head,)

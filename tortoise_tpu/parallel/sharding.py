@@ -48,6 +48,15 @@ class KVCacheSharding:
     def __init__(self, mesh: Mesh):
         self.mesh = mesh
 
+    # value semantics: this object is a static jit argument of the decode
+    # programs (ar_sampler._prefill/_decode) — identity hashing would force
+    # a full recompile per instance even over the same mesh
+    def __eq__(self, other):
+        return isinstance(other, KVCacheSharding) and self.mesh == other.mesh
+
+    def __hash__(self):
+        return hash(("KVCacheSharding", self.mesh))
+
     def spec(self, key: str) -> P:
         if key.startswith(("k_tm", "v_tm")):
             return P(None, None, "dp", "tp")

@@ -132,6 +132,18 @@ def cast_for_inference(params: dict, dtype) -> dict:
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
+def resolve_gpt_quant(cfg, gpt_weights: str):
+    """Apply a ``gpt_weights`` ctor option ("bf16" | "int8") to a
+    UnifiedVoiceConfig: "int8" turns on the weight-only int8 GPT kernels
+    (gpt2.QuantDense). Single source of the enable rule for both API
+    front-ends; pair with ``quantize_gpt_weights`` on the loaded params."""
+    import dataclasses
+
+    if gpt_weights == "int8" and not cfg.quant_weights:
+        cfg = dataclasses.replace(cfg, quant_weights=True)
+    return cfg
+
+
 def quantize_gpt_weights(params: dict) -> dict:
     """Per-output-channel symmetric int8 quantization of the GPT stack's
     block dense kernels (c_attn/c_proj/mlp_fc/mlp_proj), for
