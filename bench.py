@@ -169,6 +169,26 @@ def main():
         except Exception as e:
             detail["standard_int8kv_error"] = f"{type(e).__name__}: {e}"
 
+        # fast path with weight-only int8 GPT kernels: the B=1 decode is
+        # weight-bandwidth-bound, so this is the fast path's biggest
+        # single-chip lever (measured -30% p50 on v5e)
+        try:
+            tts8 = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
+                                    gpt_weights="int8")
+
+            def run8(seed):
+                t0 = time.perf_counter()
+                wav = tts8.tts(SENTENCE, use_deterministic_seed=seed,
+                               max_mel_tokens=tokens, verbose=False)
+                return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+
+            q_rtf, q_p50, _ = _measure(run8, 3)
+            detail["fast_int8_weights"] = {"rtf": round(q_rtf, 4),
+                                           "p50_latency_s": round(q_p50, 3)}
+            del tts8
+        except Exception as e:
+            detail["fast_int8_weights_error"] = f"{type(e).__name__}: {e}"
+
         # batched fast-path serving (BASELINE config 5, single-chip form):
         # N concurrent utterances through one set of compiled programs;
         # throughput = total audio seconds / wall second
