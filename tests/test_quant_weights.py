@@ -110,3 +110,29 @@ def test_quant_random_init_is_sane():
                              settings=SamplerSettings(max_generate=8,
                                                       emit_latents=False))
     assert np.asarray(codes).shape == (1, 8)
+
+
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    """int8 QuantDense params survive the npz and safetensors checkpoint
+    formats bit-for-bit (dtype preserved, no float round-trip)."""
+    cfg = GPT2Config(n_layer=2, n_embd=64, n_head=2)
+    stack = GPT2Stack(cfg, dtype=jnp.float32)
+    params = stack.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64)))["params"]
+    qparams = weights_lib.quantize_gpt_weights({"gpt": params})
+
+    p1 = str(tmp_path / "q.npz")
+    weights_lib.save_params(p1, qparams)
+    back = weights_lib.load_params(p1)
+    sub = back["gpt"]["h_scan"]["block"]["attn"]["c_attn"]
+    assert np.asarray(sub["kernel"]).dtype == np.int8
+    np.testing.assert_array_equal(
+        np.asarray(sub["kernel"]),
+        np.asarray(qparams["gpt"]["h_scan"]["block"]["attn"]["c_attn"]["kernel"]))
+
+    p2 = str(tmp_path / "q.safetensors")
+    weights_lib.save_params_safetensors(p2, qparams)
+    back2 = weights_lib.load_params_safetensors(p2)
+    sub2 = back2["gpt"]["h_scan"]["block"]["attn"]["c_attn"]
+    assert np.asarray(sub2["kernel"]).dtype == np.int8
+    np.testing.assert_array_equal(np.asarray(sub2["kernel"]),
+                                  np.asarray(sub["kernel"]))
