@@ -513,8 +513,11 @@ class TextToSpeech:
                                          cache_dtype=self.kv_cache_dtype,
                                          batch_sharding=self._batch_sharding,
                                          cache_sharding=self._cache_sharding)
-                samples.append(np.asarray(codes))
-        samples = np.concatenate(samples, axis=0)  # (N, max_mel_tokens)
+                # keep device arrays: a per-batch np.asarray would SYNC after
+                # every batch, serializing [dispatch -> decode -> drain] round
+                # trips instead of letting async dispatch pipeline them
+                samples.append(codes)
+            samples = np.concatenate([np.asarray(s) for s in samples], axis=0)
 
         # 2) stop-token repair + CLVP/CVVP re-ranking ---------------------
         if verbose:
