@@ -21,6 +21,9 @@ def main(argv=None):
     parser.add_argument("--kv_cache", type=bool, default=True)
     parser.add_argument("--half", type=bool, default=True)
     parser.add_argument("--extra_voice_dir", action="append", default=[])
+    parser.add_argument("--batch-size", type=int, default=8,
+                        help="sentences synthesized concurrently through "
+                             "tts_batch (0 = sequential, reference behavior)")
     args = parser.parse_args(argv)
 
     from tortoise_tpu.api_fast import TextToSpeechFast
@@ -43,13 +46,31 @@ def main(argv=None):
 
     all_parts = []
     t0 = time.time()
-    for j, sentence in enumerate(texts):
-        wav = tts.tts(sentence, voice_samples=voice_samples,
-                      conditioning_latents=conditioning_latents,
-                      use_deterministic_seed=args.seed, verbose=False)
-        wav = np.asarray(wav).squeeze()
-        save_wav(os.path.join(voice_outpath, f"{j}.wav"), wav, 24000)
-        all_parts.append(wav)
+    if args.batch_size > 1 and len(texts) > 1:
+        # batched long-form: groups of sentences share one set of compiled
+        # programs (api_fast.tts_batch); the last group pads with a dummy
+        # sentence so every group reuses the same batch-shape compile
+        g = args.batch_size
+        wavs = []
+        for i in range(0, len(texts), g):
+            group = texts[i:i + g]
+            pad = g - len(group)
+            outs = tts.tts_batch(group + ["Padding."] * pad,
+                                 conditioning_latents=conditioning_latents,
+                                 use_deterministic_seed=args.seed, verbose=False)
+            wavs.extend(outs[:len(group)])
+        for j, wav in enumerate(wavs):
+            wav = np.asarray(wav).squeeze()
+            save_wav(os.path.join(voice_outpath, f"{j}.wav"), wav, 24000)
+            all_parts.append(wav)
+    else:
+        for j, sentence in enumerate(texts):
+            wav = tts.tts(sentence, voice_samples=voice_samples,
+                          conditioning_latents=conditioning_latents,
+                          use_deterministic_seed=args.seed, verbose=False)
+            wav = np.asarray(wav).squeeze()
+            save_wav(os.path.join(voice_outpath, f"{j}.wav"), wav, 24000)
+            all_parts.append(wav)
     full = np.concatenate(all_parts)
     wall = time.time() - t0
     print(f"Generation time: {wall:.1f}s")
