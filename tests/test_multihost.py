@@ -1,10 +1,17 @@
 """Multi-host topology helpers (parallel/multihost.py).
 
-Real multi-host needs several processes; here the layout policy itself is
-tested on the 8-virtual-device mesh by spoofing process indices — the
-property that matters (tp groups never straddle a host boundary, dp
-concatenates hosts) is pure device-array arithmetic.
+Two tiers: the layout policy is unit-tested on the 8-virtual-device mesh by
+spoofing process indices (pure device-array arithmetic), and the REAL
+multi-process path — jax.distributed.initialize, hybrid_mesh over two
+actual processes, Gloo cross-process psum, the dp×tp train step — is
+exercised by spawning two worker subprocesses (multihost_worker.py) so
+``jax.process_count() == 2`` genuinely holds.
 """
+import os
+import socket
+import subprocess
+import sys
+
 import jax
 import numpy as np
 import pytest
@@ -60,6 +67,40 @@ def test_hybrid_mesh_rejects_tp_across_hosts():
 
 def test_process_local_batch():
     assert multihost.process_local_batch(256) == 256  # single process
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step():
+    """REAL multi-process: 2 local CPU processes form one JAX runtime.
+
+    Each worker asserts initialize()->True, process_count()==2, the
+    hybrid_mesh layout on real devices, a cross-process psum value, and a
+    finite dp×tp train-step loss; the parent additionally checks the dp
+    all-reduce made loss/grad_norm identical across ranks.
+    """
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, worker, str(r), str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env) for r in range(2)]
+    outs = []
+    for r, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"rank {r} timed out")
+        outs.append(out)
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"RANK{r} PASS" in out, out
+    metrics = [[ln for ln in o.splitlines() if ln.startswith("RANK")][0].split(" ", 1)[1]
+               for o in outs]
+    assert metrics[0] == metrics[1], f"ranks disagree: {metrics}"
 
 
 def test_decode_on_hybrid_mesh():

@@ -18,10 +18,27 @@ over local chips.
 from __future__ import annotations
 
 import os
+import warnings
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+
+def _distributed_client_active() -> bool:
+    """True iff jax.distributed.initialize() already ran in this process.
+
+    Probed via the distributed service state, NOT ``jax.process_count()``:
+    process_count() *creates* (and caches) the XLA backend as a side effect,
+    which would make a later ``jax.distributed.initialize()`` raise
+    unconditionally — the exact failure mode this helper exists to avoid.
+    """
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.coordinator_address is not None
+    except Exception:  # pragma: no cover - private-API drift safety net
+        return False
 
 
 def initialize(coordinator_address: str | None = None,
@@ -35,9 +52,14 @@ def initialize(coordinator_address: str | None = None,
     running multi-process (jax.process_count() > 1 after init), False for
     plain single-process runs — callers can branch once and use the same
     mesh code either way.
+
+    MUST be called before anything touches the XLA backend (jax.devices(),
+    any jit dispatch, even jax.process_count()) — that is a JAX contract,
+    not ours. If the backend is already up, this warns and falls back to
+    single-host instead of crashing the pipeline.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    if _distributed_client_active():
+        return jax.process_count() > 1  # safe now: backend init already done
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     n = num_processes if num_processes is not None else \
         int(os.environ.get("NUM_PROCESSES", "0")) or None
@@ -52,10 +74,17 @@ def initialize(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=n, process_id=pid)
-    except RuntimeError:
-        # backend already initialized in-process (e.g. a library touched
-        # jax.devices() first): multi-process wiring is impossible now, run
-        # single-host rather than crash the pipeline
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "once" in msg or "already" in msg:
+            # raced with another initializer in-process; state is valid
+            return jax.process_count() > 1
+        # Genuine failure (backend already up, bad coordinator address,
+        # rank/world mismatch...). A silent fallback here would serve a
+        # 4-host pod from 1 host with no diagnostic — surface it loudly.
+        warnings.warn(
+            f"jax.distributed.initialize failed; falling back to "
+            f"SINGLE-HOST serving. Cause: {e}", RuntimeWarning, stacklevel=2)
         return False
     return jax.process_count() > 1
 
