@@ -35,12 +35,78 @@ SENTENCE = ("Thanks for reading this article. I hope you found it informative "
 LADDER = ("ultra_fast", "fast", "standard")
 
 
+PARAGRAPH = (
+    "The field of speech synthesis has advanced remarkably over the past "
+    "decade, moving from robotic concatenative systems to neural models that "
+    "capture the rhythm and timbre of a human speaker. Autoregressive "
+    "transformers first predict a sequence of acoustic tokens from text, "
+    "conditioned on short reference clips of the target voice. A diffusion "
+    "model then refines those tokens into a detailed mel spectrogram, and a "
+    "neural vocoder turns the spectrogram into a waveform. Each stage can be "
+    "batched and compiled ahead of time, which is what makes the whole "
+    "pipeline such a natural fit for dense accelerator hardware.")
+
+
 def _measure(fn, runs):
     fn(0)  # warm all compiles
     results = [fn(i + 1) for i in range(runs)]
     rtf = statistics.median(w / a for w, a in results)
     walls = sorted(w for w, _ in results)
     return rtf, walls[len(walls) // 2], results[0][1]
+
+
+def _long_form(qtts, args):
+    """BASELINE config 4: read.py-driver long-form synthesis (reference
+    read.py:55-85) — split a paragraph into chunks, compute voice latents
+    once, synthesize every chunk at high_quality, concatenate. RTF over the
+    whole paragraph, latents + compile warm (the serving steady state)."""
+    from tortoise_tpu.utils.audio import load_voices
+    from tortoise_tpu.utils.text import split_and_recombine_text
+
+    chunks = split_and_recombine_text(PARAGRAPH, 200, 300)
+    voice_samples, _ = load_voices(["demo_alto"])
+    latents = qtts.get_conditioning_latents(voice_samples)
+
+    def run(seed):
+        t0, audio_s = time.perf_counter(), 0.0
+        for j, sentence in enumerate(chunks):
+            wav = qtts.tts_with_preset(
+                sentence, conditioning_latents=latents, preset="high_quality",
+                use_deterministic_seed=seed * 131 + j, verbose=False)
+            audio_s += wav.shape[-1] / 24000.0
+        return time.perf_counter() - t0, audio_s
+
+    rtf, p50, audio_s = _measure(run, max(2, args.ladder_runs - 1))
+    return {"rtf": round(rtf, 4), "p50_wall_s": round(p50, 3),
+            "audio_s_per_run": round(audio_s, 2), "chunks": len(chunks),
+            "preset": "high_quality", "kv_cache": "int8",
+            "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / rtf, 2)}
+
+
+def _first_audio(tts, runs=5, first=16, chunk=40):
+    """Streaming time-to-first-chunk (reference README.md:34 claims
+    "< 500 ms"): prefill + ``first`` decode steps + one windowed HiFi
+    decode, median over ``runs`` after a warm pass."""
+    text = "Thanks for asking, I would love to tell you more about that topic."
+
+    def one(seed):
+        t0 = time.perf_counter()
+        stream = tts.tts_stream(text, use_deterministic_seed=seed,
+                                first_chunk_size=first, stream_chunk_size=chunk,
+                                verbose=False)
+        first_chunk = next(stream)
+        lat = time.perf_counter() - t0
+        for _ in stream:  # drain so the generator finishes cleanly
+            pass
+        return lat, len(first_chunk) / 24000.0
+
+    one(0)
+    rows = [one(i + 1) for i in range(runs)]
+    lats = sorted(r[0] for r in rows)
+    return {"median_ms": round(lats[len(lats) // 2] * 1e3, 1),
+            "min_ms": round(lats[0] * 1e3, 1),
+            "first_chunk_audio_s": round(rows[0][1], 3),
+            "first_chunk_tokens": first, "runs": runs}
 
 
 def main():
@@ -54,7 +120,7 @@ def main():
                     help="bench ONLY the quality pipeline at this preset")
     ap.add_argument("--fast-only", action="store_true",
                     help="skip the quality-preset ladder")
-    ap.add_argument("--ladder-runs", type=int, default=2,
+    ap.add_argument("--ladder-runs", type=int, default=3,
                     help="timed runs per quality preset in the ladder")
     ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"],
                     help="KV cache dtype for --preset mode")
@@ -157,17 +223,28 @@ def main():
 
         try:
             # the int8 KV cache serving config: same standard-preset work
-            # (256 candidates / 200 steps), quantized decode reads + B=64
+            # (256 candidates / 200 steps), quantized decode reads + B=64.
+            # high_quality (256 samples / 400 diffusion steps, reference
+            # api.py:328-331) rides the same instance — the most expensive
+            # preset is part of the default artifact, not a one-off run.
             qtts8 = TextToSpeech(half=True, kv_cache_dtype="int8")
-            q_rtf, q_p50, q_audio = _measure(
-                quality_runner(qtts8, "standard", args.tokens), args.ladder_runs)
-            detail.setdefault("quality_ladder", {})["standard_int8kv"] = {
-                "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
-                "audio_s_per_run": round(q_audio, 2),
-                "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
+            for preset, row in (("standard", "standard_int8kv"),
+                                ("high_quality", "high_quality_int8kv")):
+                q_rtf, q_p50, q_audio = _measure(
+                    quality_runner(qtts8, preset, args.tokens), args.ladder_runs)
+                detail.setdefault("quality_ladder", {})[row] = {
+                    "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
+                    "audio_s_per_run": round(q_audio, 2),
+                    "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
+
+            # BASELINE config 4: long-form high_quality through the read.py
+            # driver path (reference read.py:13-101) — paragraph split into
+            # sentence chunks, conditioning latents computed ONCE from a
+            # bundled voice and reused across every chunk.
+            detail["long_form_high_quality"] = _long_form(qtts8, args)
             del qtts8
         except Exception as e:
-            detail["standard_int8kv_error"] = f"{type(e).__name__}: {e}"
+            detail["quality_int8kv_error"] = f"{type(e).__name__}: {e}"
 
         # fast path with weight-only int8 GPT kernels: the B=1 decode is
         # weight-bandwidth-bound, so this is the fast path's biggest
@@ -185,32 +262,46 @@ def main():
             q_rtf, q_p50, _ = _measure(run8, 3)
             detail["fast_int8_weights"] = {"rtf": round(q_rtf, 4),
                                            "p50_latency_s": round(q_p50, 3)}
+            # streaming first-audio (README's latency claim) — measured in
+            # the artifact, both weight dtypes (VERDICT r2 missing #4)
+            detail["first_audio_ms"] = {"int8_weights": _first_audio(tts8)}
             del tts8
         except Exception as e:
             detail["fast_int8_weights_error"] = f"{type(e).__name__}: {e}"
 
-        # batched fast-path serving (BASELINE config 5, single-chip form):
-        # N concurrent utterances through one set of compiled programs;
-        # throughput = total audio seconds / wall second
         try:
-            n_serve = 8
-            serve_texts = [f"{SENTENCE} Utterance number {i}." for i in range(n_serve)]
+            detail.setdefault("first_audio_ms", {})["bf16_weights"] = \
+                _first_audio(tts)
+        except Exception as e:
+            detail["first_audio_error"] = f"{type(e).__name__}: {e}"
 
-            def serve(seed):
-                t0 = time.perf_counter()
-                wavs = tts.tts_batch(serve_texts, use_deterministic_seed=seed,
-                                     max_mel_tokens=tokens, verbose=False)
-                wall = time.perf_counter() - t0
-                return wall, sum(w.shape[-1] for w in wavs) / 24000.0
+        # batched fast-path serving (BASELINE config 5): N concurrent
+        # utterances through one set of compiled programs; throughput =
+        # total audio seconds / wall second. 64 is the BASELINE spec size;
+        # 8 is kept for round-over-round continuity.
+        for n_serve in (8, 64):
+            try:
+                serve_texts = [f"{SENTENCE} Utterance number {i}."
+                               for i in range(n_serve)]
 
-            s_rtf, s_p50, s_audio = _measure(serve, 3)
-            detail["batched_serving"] = {
-                "utterances": n_serve,
-                "throughput_audio_s_per_s": round(1.0 / s_rtf, 2),
-                "p50_wall_s": round(s_p50, 3),
-                "audio_s_per_run": round(s_audio, 2)}
-        except Exception as e:  # keep the headline metric even if this fails
-            detail["batched_serving_error"] = f"{type(e).__name__}: {e}"
+                def serve(seed):
+                    t0 = time.perf_counter()
+                    wavs = tts.tts_batch(serve_texts, use_deterministic_seed=seed,
+                                         max_mel_tokens=tokens, verbose=False)
+                    wall = time.perf_counter() - t0
+                    return wall, sum(w.shape[-1] for w in wavs) / 24000.0
+
+                s_rtf, s_p50, s_audio = _measure(serve, 3 if n_serve == 8 else 2)
+                row = {"utterances": n_serve,
+                       "throughput_audio_s_per_s": round(1.0 / s_rtf, 2),
+                       "p50_wall_s": round(s_p50, 3),
+                       "audio_s_per_run": round(s_audio, 2)}
+                if n_serve == 8:
+                    detail["batched_serving_8"] = row
+                else:
+                    detail["batched_serving"] = row  # the BASELINE-spec row
+            except Exception as e:  # keep the headline metric even if this fails
+                detail[f"batched_serving_{n_serve}_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "fast_preset_rtf",

@@ -106,6 +106,48 @@ def test_indivisible_candidate_count_warns(tts):
     assert np.isfinite(wav).all()
 
 
+def test_redaction_defaults_on_and_degrades_offline(tts, monkeypatch):
+    """enable_redaction defaults True (reference api.py:196); with no
+    wav2vec2 weights loadable the first bracketed synthesis warns and
+    returns unredacted audio instead of crashing."""
+    assert tts.enable_redaction is True
+    assert tts.aligner is not None
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")  # make the hub fallback fail fast
+    with pytest.warns(UserWarning, match="redaction disabled"):
+        wav = tts.tts("[I am sad,] Hello there.", num_autoregressive_samples=2,
+                      diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
+                      use_deterministic_seed=13, verbose=False)
+    assert np.isfinite(wav).all()
+    assert tts.aligner is None  # does not retry on every call
+
+
+def test_quality_tts_int8_gpt_weights():
+    """gpt_weights="int8" on the QUALITY api (knob parity with
+    TextToSpeechFast): weight-only quantized AR kernels drive the full
+    pipeline."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts8 = TextToSpeech(
+            autoregressive_batch_size=2, half=False, gpt_weights="int8",
+            enable_redaction=False,
+            ar_config=UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                                         max_text_tokens=60, max_mel_tokens=80),
+            diffusion_config=DiffusionTtsConfig(model_channels=128, num_layers=2,
+                                                in_latent_channels=128, num_heads=4),
+            clvp_config=CLVPConfig(dim_text=128, dim_speech=128, dim_latent=128,
+                                   text_enc_depth=2, text_heads=4,
+                                   speech_enc_depth=2, speech_heads=4))
+    assert tts8.ar_cfg.quant_weights
+    import jax
+
+    k = tts8.ar_vars["params"]["gpt"]["h_scan"]["block"]["attn"]["c_attn"]["kernel"]
+    assert k.dtype == jnp.int8
+    wav = tts8.tts("Quantized tiny test.", num_autoregressive_samples=2,
+                   diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
+                   use_deterministic_seed=17, verbose=False)
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+
+
 def test_quality_tts_ddim_sampler(tts):
     wav = tts.tts("Short.", diffusion_sampler="ddim", num_autoregressive_samples=2,
                   diffusion_iterations=4, cond_free=False, max_mel_tokens=24,

@@ -121,7 +121,7 @@ class TextToSpeech:
     """Quality-path orchestrator (reference api.TextToSpeech)."""
 
     def __init__(self, autoregressive_batch_size=None, models_dir=None,
-                 enable_redaction=False, kv_cache=True, half=True, device=None,
+                 enable_redaction=True, kv_cache=True, half=True, device=None,
                  tokenizer_vocab_file=None, tokenizer_basic=False,
                  allow_random_weights=True, text_bucket: int = 32, mesh=None,
                  kv_cache_dtype="bf16", gpt_weights="bf16",
@@ -161,6 +161,11 @@ class TextToSpeech:
             autoregressive_batch_size
             or pick_best_batch_size_for_device(kv_cache_dtype=kv_cache_dtype))
         self.dtype = jnp.bfloat16 if half else jnp.float32
+        # Redaction defaults ON to match the reference (reference api.py:196).
+        # The aligner loads its acoustic model lazily; if no wav2vec2 weights
+        # are loadable (no converted checkpoint, no local torch .pth, no
+        # network for the hub fallback) the first bracketed synthesis warns
+        # and disables redaction instead of failing the whole pipeline.
         self.enable_redaction = enable_redaction
         self.aligner = None
         if enable_redaction:
@@ -588,7 +593,17 @@ class TextToSpeech:
 
         def potentially_redact(clip, text):
             if self.enable_redaction and self.aligner is not None:
-                return self.aligner.redact(clip[0], text)[None]
+                try:
+                    return self.aligner.redact(clip[0], text)[None]
+                except FileNotFoundError as e:
+                    # no wav2vec2 weights anywhere: degrade to unredacted
+                    # output (divergence from the reference, which hard-fails
+                    # on its hub download) and stop retrying
+                    warnings.warn(
+                        f"redaction disabled - wav2vec2 aligner weights "
+                        f"unavailable ({e}); returning unredacted audio. Pass "
+                        f"enable_redaction=False to silence this.", stacklevel=2)
+                    self.aligner = None
             return clip
 
         wav_candidates = [potentially_redact(w, text) for w in wav_candidates]

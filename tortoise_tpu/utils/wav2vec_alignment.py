@@ -16,6 +16,7 @@ Differences from the reference, all deliberate:
 """
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -176,8 +177,28 @@ class Wav2VecAlignment:
             return wav2vec2_params(hf.state_dict(), num_layers=cfg.num_layers,
                                    num_convs=len(cfg.conv_dim))
 
-        params, _ = weights_lib.get_params("wav2vec2", init_fn,
-                                           self._models_dir, allow_random=False)
+        try:
+            params, _ = weights_lib.get_params("wav2vec2", init_fn,
+                                               self._models_dir,
+                                               allow_random=False)
+        except FileNotFoundError:
+            # get_params only converts LOCAL files; the hub fallback (the
+            # checkpoint the reference downloads) needs egress — try it, and
+            # fold any network/dependency failure into the FileNotFoundError
+            # contract so callers (api.potentially_redact) can degrade.
+            try:
+                params = init_fn()
+            except Exception as e:
+                raise FileNotFoundError(
+                    "no wav2vec2 checkpoint found (native .npz, local torch "
+                    ".pth, or HF hub fetch of jbetker/wav2vec2-large-robust-"
+                    f"ft-libritts-voxpopuli): {type(e).__name__}: {e}") from e
+            try:  # cache the converted tree for next time
+                weights_lib.save_params(
+                    os.path.join(self._models_dir or weights_lib.MODELS_DIR,
+                                 "wav2vec2.npz"), params)
+            except OSError:
+                pass
         variables = jax.device_put({"params": params})
 
         @jax.jit
