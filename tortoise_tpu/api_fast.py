@@ -164,6 +164,36 @@ class TextToSpeechFast:
                 v, lat_win, cond, lat_off, n_valid, u_start, _U_LEN, valid_u,
                 method=HifiganGenerator.inference_window)
 
+        @functools.partial(jax.jit, static_argnames=("settings", "first_len"))
+        def _first_stream(v_ar, v_hifi, cond, text, rng, *, settings, first_len):
+            """Fused streaming head: prompt + prefill + ``first_len`` decode
+            steps + the first HiFi window decode, ONE dispatch. First-audio
+            latency at B=1 is dominated by host<->device round-trips (prefill
+            sync, segment sync, window-decode sync), not compute — int8
+            weights moved it by only ~2%; collapsing the syncs is the lever.
+            Returns (carry, toks, latents, wav window [u 0.._U_LEN), natural
+            length n, emission target target_u)."""
+            from tortoise_tpu.models import ar_sampler
+
+            carry, toks, latents = ar_sampler.prefill_segment.__wrapped__(
+                self.autoregressive, v_ar, cond, text, rng, settings,
+                first_len, jnp.bfloat16)
+            m = toks.shape[1]
+            hit = toks[0] == cfgd.stop_mel_token
+            n = jnp.where(hit.any(), jnp.argmax(hit) + 1, m).astype(jnp.int32)
+            u_valid = (4 * n * 24000) // 22050
+            # not stopped: hold back the tail frames still inside the decode
+            # frontier's receptive field (same rule as emit_windows)
+            target_u = jnp.where(hit.any(), u_valid,
+                                 jnp.maximum(u_valid - _TAIL_U, 0))
+            lat_win = jnp.pad(latents.astype(jnp.float32),
+                              ((0, 0), (0, _W_LAT - m), (0, 0)))
+            wav = self.hifi_decoder.apply(
+                v_hifi, lat_win, cond, 0, n, 0, _U_LEN,
+                jnp.minimum(_U_LEN, u_valid),
+                method=HifiganGenerator.inference_window)
+            return carry, toks, latents, wav, n, target_u
+
         @jax.jit
         def _finish_wav(v_ar, v_hifi, cond, text, codes):
             """Sampled codes -> (wav, n, out_samples) entirely on device:
@@ -189,6 +219,8 @@ class TextToSpeechFast:
                                           method=HifiganGenerator.inference)
             return wav, n, out_samples
 
+        self._first_stream = functools.partial(_first_stream, self.ar_vars,
+                                               self.hifi_vars)
         self._conditioning = functools.partial(_conditioning, self.ar_vars)
         self._relatent = functools.partial(_relatent, self.ar_vars)
         self._decode_wav = functools.partial(_decode_wav, self.hifi_vars)
@@ -395,7 +427,7 @@ class TextToSpeechFast:
         API compatibility but unused).
         """
         del overlap_wav_len  # exact-slice emission needs no crossfade
-        from tortoise_tpu.models.ar_sampler import stream_speech
+        from tortoise_tpu.models import ar_sampler
 
         det_seed, text_tokens, cond = self._prepare(
             text, voice_samples, conditioning_latents, use_deterministic_seed)
@@ -430,20 +462,44 @@ class TextToSpeechFast:
                 u_emit = emit_to
                 yield chunk
 
-        latents_f32, last_n = None, 0
-        for codes, latents in stream_speech(
+        first_len = min(first_chunk_size, stream_chunk_size,
+                        max(max_mel_tokens - 1, 0))
+        if first_len + 1 <= _W_LAT:
+            # fused head: ONE dispatch + one d2h to the first audio chunk
+            carry, toks, latents, wav, n_dev, tgt_dev = self._first_stream(
+                cond_j, jnp.asarray(text_tokens), jax.random.PRNGKey(det_seed),
+                settings=settings, first_len=first_len)
+            wav_np, codes, last_n, target_u = jax.device_get(
+                (wav, toks, n_dev, tgt_dev))
+            emit_to = min(int(target_u), _U_LEN - _HALO_U)
+            if emit_to > 0:
+                u_emit = emit_to
+                yield wav_np[0, :emit_to * 256, 0]
+            latents_f32 = np.asarray(latents, np.float32)
+            stopped = last_n < codes.shape[1]
+            stream = ar_sampler.stream_continue(
+                self.autoregressive, self.ar_vars, carry, codes, latents_f32,
+                settings, stream_chunk_size)
+            if not stopped and target_u > emit_to:
+                # first_len so large the fused window couldn't cover it all
+                yield from emit_windows(latents_f32, last_n, int(target_u))
+        else:
+            latents_f32, last_n, stopped = None, 0, False
+            stream = ar_sampler.stream_speech(
                 self.autoregressive, self.ar_vars, cond_j,
                 jnp.asarray(text_tokens), jax.random.PRNGKey(det_seed),
                 settings=settings, seg_len=stream_chunk_size,
-                first_seg_len=min(first_chunk_size, stream_chunk_size)):
-            last_n = self._trim_codes(codes[0])
-            latents_f32 = latents.astype(np.float32)
-            stopped = last_n < codes.shape[1]
-            if stopped:
-                break
-            # hold back the tail: those samples still change as tokens arrive
-            yield from emit_windows(latents_f32, last_n,
-                                    max(0, _u_frames(last_n) - _TAIL_U))
+                first_seg_len=first_len)
+        if not stopped:
+            for codes, latents in stream:
+                last_n = self._trim_codes(codes[0])
+                latents_f32 = latents.astype(np.float32)
+                stopped = last_n < codes.shape[1]
+                if stopped:
+                    break
+                # hold back the tail: those samples change as tokens arrive
+                yield from emit_windows(latents_f32, last_n,
+                                        max(0, _u_frames(last_n) - _TAIL_U))
         # final flush: stop token latched or max_generate reached
         if latents_f32 is not None:
             yield from emit_windows(latents_f32, last_n, _u_frames(last_n))

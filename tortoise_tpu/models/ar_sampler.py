@@ -222,35 +222,66 @@ def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtyp
     return toks_buf, (lats_buf if emit else None)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def prefill_segment(model, variables, cond_latent, text_tokens, rng,
+                    settings: SamplerSettings, seg_len: int, cache_dtype):
+    """Fused prompt-build + prefill + first ``seg_len`` decode steps.
+
+    One dispatch from (cond, text) to the first ``seg_len + 1`` tokens and
+    latents — the streaming critical path. Separate eager prompt ops, a
+    prefill call, and a segment call each cost a host round-trip on a
+    tunneled/remote device; fusing them is worth more to first-audio latency
+    than any kernel-level change (the B=1 decode is dispatch-bound).
+    Returns (carry, toks (b, seg_len+1), latents (b, seg_len+1, D) f32)."""
+    prompt = model.apply(variables, cond_latent, text_tokens,
+                         method=UnifiedVoice.compute_prompt)
+    carry, tok0, latent0 = _prefill.__wrapped__(model, variables, prompt, rng,
+                                                settings, cache_dtype)
+    toks, latents = tok0[:, None], latent0[:, None]
+    if seg_len > 0:
+        carry, seg_toks, seg_lats = _segment.__wrapped__(model, variables,
+                                                         carry, settings, seg_len)
+        toks = jnp.concatenate([toks, seg_toks], 1)
+        if settings.emit_latents:
+            latents = jnp.concatenate([latents, seg_lats], 1)
+    return carry, toks, latents
+
+
+def stream_continue(model: UnifiedVoice, variables: dict, carry, toks_np,
+                    lats_np, settings: SamplerSettings, seg_len: int):
+    """Continue an incremental decode from ``carry`` (a prefill_segment
+    result already yielded to the caller): yields cumulative
+    (codes (1, n), latents (1, n, D)) numpy arrays per segment, stopping
+    once the stop token latches or ``max_generate`` is reached."""
+    cfg = model.config
+    produced = toks_np.shape[1]
+    finished = bool((toks_np[0] == cfg.stop_mel_token).any())
+    while produced < settings.max_generate and not finished:
+        n = min(seg_len, settings.max_generate - produced)
+        carry, toks, latents = _segment(model, variables, carry, settings, n)
+        toks = np.asarray(toks)
+        toks_np = np.concatenate([toks_np, toks], 1)
+        lats_np = np.concatenate([lats_np, np.asarray(latents)], 1)
+        produced += n
+        finished = bool((toks[0] == cfg.stop_mel_token).any())
+        yield toks_np, lats_np
+
+
 def stream_speech(model: UnifiedVoice, variables: dict, cond_latent, text_tokens,
                   rng, settings: SamplerSettings = SamplerSettings(),
                   seg_len: int = 20, cache_dtype=jnp.bfloat16,
                   first_seg_len: int | None = None):
     """Incremental decode: yields (codes (1, n), latents (1, n, D)) numpy
     chunks as they are produced, stopping early once the stop token latches.
-    First yield after prefill + one segment — this is what bounds first-audio
-    latency, so ``first_seg_len`` (default ``seg_len``) can be set smaller to
-    get the first audio out sooner (costs one extra compiled segment shape)."""
-    cfg = model.config
-    prompt = _make_prompt(model, variables, cond_latent, text_tokens, 1)
-    carry, tok0, latent0 = _prefill(model, variables, prompt, rng, settings,
-                                    cache_dtype)
-    pending_toks = [np.asarray(tok0)[:, None]]
-    pending_lats = [np.asarray(latent0)[:, None]]
-    produced = 1
-    finished = bool(np.asarray(tok0)[0] == cfg.stop_mel_token)
-    next_seg = first_seg_len or seg_len
-    while produced < settings.max_generate and not finished:
-        n = min(next_seg, settings.max_generate - produced)
-        next_seg = seg_len
-        carry, toks, latents = _segment(model, variables, carry, settings, n)
-        toks = np.asarray(toks)
-        pending_toks.append(toks)
-        pending_lats.append(np.asarray(latents))
-        produced += n
-        finished = bool((toks[0] == cfg.stop_mel_token).any())
-        yield np.concatenate(pending_toks, 1), np.concatenate(pending_lats, 1)
-        pending_toks = [np.concatenate(pending_toks, 1)]
-        pending_lats = [np.concatenate(pending_lats, 1)]
-    if len(pending_toks) == 1 and produced == 1:
-        yield pending_toks[0], pending_lats[0]
+    The first yield lands after ONE fused prefill+segment dispatch — this is
+    what bounds first-audio latency, so ``first_seg_len`` (default
+    ``seg_len``) can be set smaller to get the first audio out sooner (costs
+    one extra compiled segment shape)."""
+    first = min(first_seg_len or seg_len, max(settings.max_generate - 1, 0))
+    carry, toks, latents = prefill_segment(model, variables, cond_latent,
+                                           text_tokens, rng, settings, first,
+                                           cache_dtype)
+    toks_np, lats_np = np.asarray(toks), np.asarray(latents)
+    yield toks_np, lats_np
+    yield from stream_continue(model, variables, carry, toks_np, lats_np,
+                               settings, seg_len)
