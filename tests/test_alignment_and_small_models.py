@@ -13,6 +13,7 @@ from tortoise_tpu.utils.wav2vec_alignment import (TacotronCTCTokenizer,
 
 
 @pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+@pytest.mark.slow
 def test_max_alignment_matches_reference():
     ref = load_ref_module("tortoise.utils.wav2vec_alignment")
     cases = [
@@ -96,3 +97,44 @@ def test_rlg_parity():
         theirs = ref.layers(torch.from_numpy(noise)).numpy()
     got = np.asarray(ours.apply({"params": params}, jnp.asarray(noise)))
     np.testing.assert_allclose(got, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_transcribe_and_cer_with_fake_ctc():
+    from tortoise_tpu.utils.wav2vec_alignment import character_error_rate
+
+    tok = TacotronCTCTokenizer()
+    said = "hello world"
+    ids = tok.encode(said)
+    vocab = len(tok.symbols)
+    # one frame per char plus interleaved blanks (CTC collapse must drop them)
+    frames = []
+    for t in ids:
+        row_blank = np.full(vocab, -10.0, np.float32); row_blank[0] = 10.0
+        row = np.full(vocab, -10.0, np.float32); row[t] = 10.0
+        frames += [row_blank, row, row]  # repeat collapses too
+    logits = np.stack(frames)
+
+    aligner = Wav2VecAlignment(logits_fn=lambda a: logits)
+    audio = np.zeros(len(frames) * 320, np.float32)
+    assert aligner.transcribe(audio, audio_sample_rate=16000) == said
+
+    assert character_error_rate("hello world", said) == 0.0
+    assert character_error_rate("Hello,  WORLD?", "hello, world?") == 0.0
+    # one substitution over 11 normalized chars
+    assert abs(character_error_rate("hello world", "hallo world") - 1 / 11) < 1e-9
+    assert character_error_rate("", "") == 0.0
+    assert character_error_rate("abc", "") == 1.0
+
+
+def test_eval_cer_scoring_with_stub_aligner():
+    from tortoise_tpu.apps.eval import evaluate_clips
+
+    class Stub:
+        def transcribe(self, wav, audio_sample_rate=24000):
+            return "a perfect transcript" if wav.sum() > 0 else "garbage"
+
+    rows = [(0, np.ones(10, np.float32), "A  Perfect transcript"),
+            (1, np.zeros(10, np.float32), "something else entirely")]
+    out = evaluate_clips(rows, Stub())
+    assert out[0][1] == 0.0
+    assert out[1][1] > 0.5

@@ -33,6 +33,7 @@ def test_tts_shapes_and_determinism(tts):
     np.testing.assert_array_equal(wav, wav2)
 
 
+@pytest.mark.slow
 def test_tts_stream_concatenates_to_full_clip(tts):
     """Streamed chunks are exact adjacent slices of the full decode of the
     same latents: concatenating them reproduces the whole clip (content, not
@@ -65,6 +66,7 @@ def test_tts_stream_concatenates_to_full_clip(tts):
     np.testing.assert_allclose(total, full, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tts_stream_fixed_compiled_shapes(tts):
     """Per-chunk decode cost is O(chunk): every window decode uses the same
     input shapes regardless of how long the clip has grown."""
@@ -86,6 +88,7 @@ def test_tts_stream_fixed_compiled_shapes(tts):
     assert len(set(shapes)) == 1  # one compiled program serves the stream
 
 
+@pytest.mark.slow
 def test_hifi_inference_window_matches_full_decode(tts):
     """inference_window == the same u-frame slice of a full inference() run,
     for interior windows (halo covers the conv receptive field) and for
@@ -142,6 +145,7 @@ def test_handle_chunks_crossfade_reference_semantics():
     assert c2[1023] == pytest.approx(2.0, abs=1e-2)
 
 
+@pytest.mark.slow
 def test_tts_batch_serving(tts):
     import jax
 
@@ -165,6 +169,7 @@ def test_tts_batch_serving(tts):
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_stream_emits_tail_on_segment_boundary(tts):
     """Regression: a stop token landing exactly on a segment boundary must
     still produce audio (previously the generator could yield nothing)."""
@@ -215,6 +220,7 @@ def test_bucketed_hifi_decode_matches_exact(tts):
     np.testing.assert_allclose(bucketed, exact, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_tts_int8_weights_end_to_end():
     """gpt_weights="int8" (gpt2.QuantDense): the fast path synthesizes a
     finite clip of the same shape contract as full precision."""

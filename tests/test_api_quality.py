@@ -64,6 +64,7 @@ def tts():
                                    speech_enc_depth=2, speech_heads=4))
 
 
+@pytest.mark.slow
 def test_quality_tts_end_to_end(tts):
     wav = tts.tts("A tiny end to end test.", num_autoregressive_samples=2,
                   diffusion_iterations=4, cond_free=True, max_mel_tokens=32,
@@ -72,6 +73,7 @@ def test_quality_tts_end_to_end(tts):
     assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_quality_tts_k2_and_conditioning(tts):
     rng = np.random.default_rng(0)
     clip = (rng.standard_normal((1, 22050)) * 0.1).astype(np.float32)
@@ -106,6 +108,7 @@ def test_indivisible_candidate_count_warns(tts):
     assert np.isfinite(wav).all()
 
 
+@pytest.mark.slow
 def test_redaction_defaults_on_and_degrades_offline(tts, monkeypatch):
     """enable_redaction defaults True (reference api.py:196); with no
     wav2vec2 weights loadable the first bracketed synthesis warns and
@@ -121,6 +124,7 @@ def test_redaction_defaults_on_and_degrades_offline(tts, monkeypatch):
     assert tts.aligner is None  # does not retry on every call
 
 
+@pytest.mark.slow
 def test_quality_tts_int8_gpt_weights():
     """gpt_weights="int8" on the QUALITY api (knob parity with
     TextToSpeechFast): weight-only quantized AR kernels drive the full

@@ -21,6 +21,7 @@ def model():
     return m, variables
 
 
+@pytest.mark.slow
 def test_timestep_independent_bucketed_matches_exact(model):
     m, variables = model
     rng = np.random.default_rng(0)

@@ -91,6 +91,7 @@ def test_attention_block_flash_path_matches_dense():
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_diffusion_model_flash_biases_match_dense():
     from tortoise_tpu.models.diffusion_decoder import (
         DiffusionTts, DiffusionTtsConfig, compute_rel_bias_blocks,

@@ -30,7 +30,10 @@ from ref_loader import has_reference, load_ref_module
 
 import tortoise_tpu.convert.torch_import as ti
 
-pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+pytestmark = [
+    pytest.mark.skipif(not has_reference(), reason="reference not mounted"),
+    pytest.mark.slow,  # full shipping-scale configs: ~3 min total
+]
 
 
 class TrackingStateDict(dict):

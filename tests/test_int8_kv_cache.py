@@ -62,6 +62,7 @@ def test_int8_cache_structure_and_dtypes():
     assert set(init_kv_cache(cfg, 4, 512).keys()) == {"k", "v"}
 
 
+@pytest.mark.slow
 def test_int8_greedy_decode_matches_bf16():
     """Greedy (do_sample=False) decode: token streams agree between the int8
     and bf16 caches on a small random model. Quantization noise may flip a
@@ -99,6 +100,7 @@ def test_pick_batch_size_doubles_for_int8():
     assert pick_best_batch_size_for_device(FakeDev(), kv_cache_dtype="int8") == 64
 
 
+@pytest.mark.slow
 def test_t_major_cache_matches_b_major():
     """The T-major candidate-batch cache layout (keys k_tm/v_tm, write as a
     contiguous slab) produces the same decode outputs as the B-major layout

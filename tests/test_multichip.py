@@ -50,6 +50,7 @@ def test_train_step_multichip():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_quality_api_with_mesh():
     import warnings
 
@@ -110,6 +111,7 @@ def test_tp_sharded_decode_matches_single_device(small_model):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_quality_api_with_tp_mesh():
     import warnings
 

@@ -14,6 +14,9 @@ from tortoise_tpu.apps.socket_client import receive_audio
 from tortoise_tpu.apps.socket_server import TTSServer
 from tortoise_tpu.models.autoregressive import UnifiedVoiceConfig
 
+# real-TCP serving e2e (~1 min incl. fixture); inner loop skips via -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def server():

@@ -20,6 +20,7 @@ def model():
     return m, init_unified_voice(m, jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_stream_matches_batch(model):
     m, variables = model
     rng = np.random.default_rng(0)

@@ -49,6 +49,7 @@ def test_wav2vec2_logits_parity_vs_torch():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_wav2vec2_masked_bucketing_exact():
     """A zero-padded run with n_samples masking equals an unpadded run on the
     valid frames (the streaming/bucketed serving contract)."""
