@@ -280,6 +280,15 @@ class Wav2VecAlignment:
 
         return _fill_gaps(offsets, total_samples)
 
+    def transcribe(self, audio: np.ndarray, audio_sample_rate: int = 24000) -> str:
+        """Greedy CTC transcript of ``audio`` (argmax per frame, collapse
+        repeats, drop blanks). Not in the reference — used by apps/eval.py
+        as an automated intelligibility proxy (character error rate vs the
+        prompt)."""
+        audio = np.asarray(audio).reshape(-1)
+        logits = self._logits(audio, audio_sample_rate)
+        return self.tokenizer.decode(logits.argmax(-1).tolist())
+
     def redact(self, audio: np.ndarray, expected_text: str,
                audio_sample_rate: int = 24000) -> np.ndarray:
         """Cut out the audio spans for [bracketed] text (reference :125-150)."""
@@ -306,3 +315,34 @@ class Wav2VecAlignment:
         kept = [audio[:, offsets[s]:offsets[e]] for s, e in keep]
         result = np.concatenate(kept, axis=-1)
         return result[0] if squeeze else result
+
+
+def character_error_rate(reference: str, hypothesis: str) -> float:
+    """Levenshtein(ref, hyp) / len(ref) over the CTC symbol alphabet.
+
+    Both strings are normalized the way the acoustic model hears them:
+    lowercased, characters outside the Tacotron symbol set dropped,
+    whitespace collapsed. Returns 0.0 for a perfect transcript; can exceed
+    1.0 when the hypothesis is much longer than the reference. (The
+    reference repo ships an unused ``lev_distance`` helper,
+    tortoise/utils/tokenizer.py:153-166, but never computes an error rate —
+    this is the automated intelligibility metric its eval.py lacked.)
+    """
+    keep = set(_TACOTRON_SYMBOLS)
+
+    def norm(s):
+        s = "".join(c for c in s.lower() if c in keep)
+        return " ".join(s.split())
+
+    ref, hyp = norm(reference), norm(hypothesis)
+    if not ref:
+        return 0.0 if not hyp else float(len(hyp))
+    # single-row edit distance
+    prev = list(range(len(hyp) + 1))
+    for i, rc in enumerate(ref, 1):
+        cur = [i]
+        for j, hc in enumerate(hyp, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (rc != hc)))
+        prev = cur
+    return prev[-1] / len(ref)
