@@ -59,6 +59,7 @@ def test_clvp_loss_parity(clvp_models):
     assert got == pytest.approx(theirs, rel=1e-3, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_clvp_score_candidates_equals_repeat(clvp_models):
     _, ours, variables = clvp_models
     rng = np.random.default_rng(2)

@@ -41,6 +41,7 @@ def test_timestep_independent_bucketed_matches_exact(model):
     assert np.abs(np.asarray(bucketed)[:, out_len:]).max() == 0
 
 
+@pytest.mark.slow
 def test_forward_masked_matches_exact(model):
     m, variables = model
     rng = np.random.default_rng(1)
@@ -60,6 +61,7 @@ def test_forward_masked_matches_exact(model):
                                np.asarray(exact), rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_forward_masked_cond_free_matches_exact(model):
     m, variables = model
     rng = np.random.default_rng(2)
@@ -75,6 +77,7 @@ def test_forward_masked_cond_free_matches_exact(model):
                                np.asarray(exact), rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_precomputed_rel_biases_match_inline(model):
     import jax
 

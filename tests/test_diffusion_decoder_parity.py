@@ -78,6 +78,7 @@ def test_forward_code_path_parity(models):
     np.testing.assert_allclose(got.transpose(0, 2, 1), theirs, rtol=3e-3, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_forward_latent_and_precomputed_and_free(models):
     import torch
 

@@ -28,6 +28,7 @@ def small_cfg():
                               start_mel_token=60, stop_mel_token=61)
 
 
+@pytest.mark.slow
 def test_int8_cache_attention_error_bound():
     """One cached forward (prefill + a decode step) stays within tolerance of
     the float32 cache on random activations."""

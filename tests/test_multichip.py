@@ -44,6 +44,7 @@ def test_candidate_sharded_decode_matches_single_device(small_model):
     np.testing.assert_array_equal(np.asarray(base), np.asarray(sharded))
 
 
+@pytest.mark.slow
 def test_train_step_multichip():
     from __graft_entry__ import dryrun_multichip
 

@@ -67,6 +67,7 @@ def test_quant_stack_matches_full_precision():
     assert rel < 0.02, f"int8 weights mean relative error {rel:.4f} too high"
 
 
+@pytest.mark.slow
 def test_quant_greedy_decode_matches_full():
     """Greedy decode: token streams agree over a prefix between int8 and
     full-precision weights on a small random model."""

@@ -68,6 +68,7 @@ def test_wav2vec2_masked_bucketing_exact():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_redaction_e2e_through_jax_model():
     """End-to-end redact() with the JAX acoustic model supplying real logits:
     align the audio against the transcript the model itself hears (so the
