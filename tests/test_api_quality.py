@@ -157,3 +157,37 @@ def test_quality_tts_ddim_sampler(tts):
                   diffusion_iterations=4, cond_free=False, max_mel_tokens=24,
                   use_deterministic_seed=9, verbose=False)
     assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+
+
+def test_vocoder_bucketed_decode_matches_exact(tts):
+    """_vocode_clip (bucketed body + fixed tail window, compile-once per
+    bucket) reproduces the exact-length UnivNet decode for EVERY sample:
+    body covers frames < f-32, the tail window (whose end-of-array boundary
+    matches the exact run's) covers the rest."""
+    import jax
+
+    from tortoise_tpu.models.vocoder import UnivNetGenerator
+
+    # the randomly-initialized gated LVC stack is chaotic (1e-6 input
+    # perturbation -> O(1) output change), which would amplify benign
+    # compile-path rounding differences past any tolerance; scale the
+    # weights down to make the map contractive, as real trained weights are
+    scaled = jax.tree_util.tree_map(lambda a: a * 0.15, tts.vocoder_vars)
+    orig = tts.vocoder_vars
+    tts.vocoder_vars = scaled
+    try:
+        nprng = np.random.default_rng(1)
+        for f in (137, 256):  # off-bucket and exactly-on-bucket lengths
+            fb = -(-f // tts.VOCODER_FRAME_BUCKET) * tts.VOCODER_FRAME_BUCKET
+            mel = nprng.standard_normal((1, f, 100)).astype(np.float32) * 2.0 - 6.0
+            rng = jax.random.PRNGKey(f)
+            stitched = tts._vocode_clip(jnp.asarray(mel), rng)
+            assert stitched.shape == (1, f * 256, 1)
+
+            # the exact-length run with the SAME noise values per position
+            z = jax.random.normal(rng, (1, fb + 10, tts.vocoder.config.noise_dim))
+            exact = tts.vocoder.apply(scaled, jnp.asarray(mel), z[:, :f + 10],
+                                      method=UnivNetGenerator.inference)
+            np.testing.assert_allclose(stitched, np.asarray(exact), atol=1e-5)
+    finally:
+        tts.vocoder_vars = orig

@@ -293,6 +293,21 @@ class TextToSpeech:
             return self.vocoder.apply(v, mel, z,
                                       method=UnivNetGenerator.inference)
 
+        @jax.jit
+        def _vocode_tail(v, mel_pad, z, start):
+            """Fixed-shape decode of the clip's LAST ``VOCODER_TAIL_WINDOW``
+            mel frames: reproduces the exact-length run's end-of-array
+            boundary (inference() appends its 10 floor frames at the window
+            end, where the exact run's array also ends), so window samples
+            past the 16-frame halo match the unpadded decode exactly."""
+            w = self.VOCODER_TAIL_WINDOW
+            win_mel = jax.lax.dynamic_slice(
+                mel_pad, (0, start, 0), (1, w, mel_pad.shape[2]))
+            win_z = jax.lax.dynamic_slice(
+                z, (0, start, 0), (1, w + 10, z.shape[2]))
+            return self.vocoder.apply(v, win_mel, win_z,
+                                      method=UnivNetGenerator.inference)
+
         self._ar_conditioning = functools.partial(_ar_conditioning, self.ar_vars)
         self._diff_conditioning = functools.partial(_diff_conditioning,
                                                     self.diffusion_vars)
@@ -303,7 +318,14 @@ class TextToSpeech:
         self._timestep_independent_bucketed = functools.partial(
             _timestep_independent_bucketed, self.diffusion_vars)
         self._rel_biases = _rel_biases
-        self._vocode = functools.partial(_vocode, self.vocoder_vars)
+        # late-bound so tests can swap self.vocoder_vars (e.g. for scaled
+        # weights: the randomly-initialized gated LVC stack is chaotic — a
+        # 1e-6 input perturbation produces O(1) output changes — so
+        # cross-compile-path exactness is only checkable with contractive
+        # weights)
+        self._vocode = lambda mel, z: _vocode(self.vocoder_vars, mel, z)
+        self._vocode_tail = lambda mel, z, s: _vocode_tail(self.vocoder_vars,
+                                                           mel, z, s)
 
     # ------------------------------------------------------------------
     def load_cvvp(self):
@@ -392,6 +414,8 @@ class TextToSpeech:
         return self._diffusion_loops[key]
 
     LATENT_BUCKET = 64  # diffusion programs compile once per latent bucket
+    VOCODER_FRAME_BUCKET = 256  # UnivNet compiles once per ~2.7 s of audio
+    VOCODER_TAIL_WINDOW = 64  # fixed tail decode; UnivNet RF is +-16 frames
 
     def do_spectrogram_diffusion(self, latents, diffusion_conditioning, *,
                                  diffusion_iterations, cond_free, cond_free_k,
@@ -432,6 +456,39 @@ class TextToSpeech:
                    jnp.asarray(out_len))
         mel = mel_ops.denormalize_tacotron_mel(mel)
         return jnp.swapaxes(mel, 1, 2)[:, :, :out_len]
+
+    def _vocode_clip(self, mel_btc, rng) -> np.ndarray:
+        """Mel (1, F, 100) -> wav (1, F*256, 1) with BUCKETED compile shapes.
+
+        UnivNet at an exact per-sentence length costs a fresh multi-second
+        XLA compile for every new clip length — in the long-form/serving
+        steady state that compile lands inside the latency budget (measured
+        15 s on a first-seen bucket). Instead: decode a floor-padded body at
+        a VOCODER_FRAME_BUCKET multiple (exact for frames < F-6; the
+        reference's own tail treatment is floor padding, vocoder.py:300-312)
+        and the clip's final 32 frames from a fixed-shape tail window whose
+        end-of-array boundary matches the exact run's (exact past its
+        16-frame halo; UnivNet's receptive field is +-16 mel frames). The
+        stitched wav equals the exact-length decode everywhere.
+        """
+        f = mel_btc.shape[1]
+        w = self.VOCODER_TAIL_WINDOW
+        nz = self.vocoder.config.noise_dim
+        if f < w:
+            # sub-0.7 s clip: window doesn't fit; exact-shape decode
+            z = jax.random.normal(rng, (1, f + 10, nz))
+            return np.asarray(self._vocode(mel_btc, z))
+        fb = -(-f // self.VOCODER_FRAME_BUCKET) * self.VOCODER_FRAME_BUCKET
+        mel_pad = jnp.pad(jnp.asarray(mel_btc), ((0, 0), (0, fb - f), (0, 0)),
+                          constant_values=-11.5129)
+        z = jax.random.normal(rng, (1, fb + 10, nz))
+        body = self._vocode(mel_pad, z)
+        tail = self._vocode_tail(mel_pad, z, jnp.asarray(f - w))
+        body_np, tail_np = jax.device_get((body, tail))
+        # body exact for frames < f-6, tail exact for frames >= f-48 (halo
+        # 16 of the 64-frame window): stitch at f-32, inside both regions
+        return np.concatenate([body_np[:, :(f - 32) * 256],
+                               tail_np[:, (w - 32) * 256:]], axis=1)
 
     # ------------------------------------------------------------------
     def tts_with_preset(self, text, preset="fast", **kwargs):
@@ -586,9 +643,7 @@ class TextToSpeech:
                 mel.block_until_ready()
             with timer.stage("vocoder"):
                 mel_btc = jnp.swapaxes(mel, 1, 2)  # (1, F, 100)
-                z = jax.random.normal(r2, (1, mel_btc.shape[1] + 10,
-                                           self.vocoder.config.noise_dim))
-                wav = np.asarray(self._vocode(mel_btc, z))  # (1, S, 1)
+                wav = self._vocode_clip(mel_btc, r2)  # (1, S, 1)
             wav_candidates.append(wav[:, :, 0][:, None, :])
 
         def potentially_redact(clip, text):
