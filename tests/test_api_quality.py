@@ -34,10 +34,10 @@ def test_pick_best_batch_size_tiers():
         def __init__(self, gb): self.gb = gb
         def memory_stats(self): return {"bytes_limit": int(self.gb * 2 ** 30)}
 
-    assert pick_best_batch_size_for_device(Fake(32)) == 64
-    assert pick_best_batch_size_for_device(Fake(16)) == 32  # TPU v5e
-    assert pick_best_batch_size_for_device(Fake(8)) == 16
-    assert pick_best_batch_size_for_device(Fake(4)) == 8
+    assert pick_best_batch_size_for_device(Fake(32)) == 128
+    assert pick_best_batch_size_for_device(Fake(16)) == 64  # TPU v5e
+    assert pick_best_batch_size_for_device(Fake(8)) == 32
+    assert pick_best_batch_size_for_device(Fake(4)) == 16
     # CPU backend has no memory_stats -> reference-parity default
     assert pick_best_batch_size_for_device() == 32
 

@@ -97,8 +97,8 @@ def test_pick_batch_size_doubles_for_int8():
         def memory_stats(self):
             return None
 
-    assert pick_best_batch_size_for_device(FakeDev()) == 32
-    assert pick_best_batch_size_for_device(FakeDev(), kv_cache_dtype="int8") == 64
+    assert pick_best_batch_size_for_device(FakeDev()) == 64
+    assert pick_best_batch_size_for_device(FakeDev(), kv_cache_dtype="int8") == 128
 
 
 @pytest.mark.slow

@@ -51,9 +51,13 @@ def pick_best_batch_size_for_device(device=None, kv_cache_dtype="bf16") -> int:
     """Candidate micro-batch size from accelerator memory, the TPU analog of
     the reference's free-VRAM tiers (reference api.py:148-172: 16/8/4/1 by
     GPU memory). TPU HBM tiers are sized for the bf16 AR model + a
-    per-candidate KV cache; a v5e (16 GB) comfortably decodes 32 candidates
-    at once (measured), half that per halving of HBM. The int8 KV cache
-    (~0.53x the bytes per candidate) doubles each tier.
+    per-candidate KV cache; a v5e (16 GB) comfortably decodes 64 candidates
+    at once (measured: the bf16 cache at B=64, T~700 is 5.5 GB, and B=64
+    cuts the standard-preset AR stage 5.9 -> 4.65 s vs B=32 because the
+    773 MB/step weight stream and ~450-op/step fixed overhead amortize
+    across the batch — see docs/ROOFLINE.md), half that per halving of
+    HBM. The int8 KV cache (~0.53x the bytes per candidate) doubles each
+    tier (measured at B=128: AR 4.4 -> 3.66 s).
     """
     # per-chip HBM for TPU generations whose backends don't expose
     # memory_stats() (e.g. tunneled/plugin backends return None)
@@ -73,13 +77,13 @@ def pick_best_batch_size_for_device(device=None, kv_cache_dtype="bf16") -> int:
         pass
     mult = 2 if kv_cache_dtype in ("int8", jnp.int8) else 1
     if hbm_gb >= 30:
-        return 64 * mult
+        return 128 * mult
     if hbm_gb >= 14:
-        return 32 * mult
+        return 64 * mult
     if hbm_gb >= 7:
-        return 16 * mult
+        return 32 * mult
     if hbm_gb > 0:
-        return 8 * mult
+        return 16 * mult
     return 32  # unknown backend (e.g. CPU tests): the reference-parity default
 
 
