@@ -1,0 +1,306 @@
+"""Whole-step fused GPT-2 decode kernel (Pallas, TPU).
+
+ONE ``pallas_call`` per decode step covers all ``n_layer`` transformer
+blocks: grid over layers, per-layer weights streamed as auto-pipelined
+grid-blocked inputs (next layer's 25 MB prefetches while the current layer
+computes), KV-cache chunks manually double-buffered from HBM, the carried
+activation resident in VMEM scratch. This is the TPU analog of the
+reference's DeepSpeed kernel injection (reference
+tortoise/models/autoregressive.py:379-392) and the "kill-or-ship" kernel
+from docs/ROOFLINE.md: the XLA step is op-fragmentation bound (~450 device
+ops/step at a fixed few-us each), which one fused kernel amortizes to a
+single launch.
+
+Design notes (measured on v5e, see docs/ROOFLINE.md):
+* VMEM is ~128 MB with ``CompilerParams(vmem_limit_bytes=...)`` (the 16 MB
+  number is only the default scoped limit); per-layer weights double-buffer
+  at ~51 MB and cache chunks at <= 34 MB.
+* Per-head (B, ck, H) logits from the merged-channel (B, ck, C) cache
+  layout use block-diagonal mask matmuls (a (C, H) 0/1 operand) — the
+  segmented dh=64 reduction does not MXU-map directly.
+* Chunk-sized (B, ck, C) transients stay bf16; f32 appears only in MXU
+  accumulators, (B, ck, H) logits, and (B, C) carries — f32 chunk
+  transients register-spill by tens of MB.
+* The cache is READ-ONLY here. New k/v rows return as (L, B, C) outputs and
+  the caller writes them with two whole-stack ``dynamic_update_slice``s
+  (the XLA path's 4 per-layer DUS ops cost 33 us/layer-step of pure op
+  overhead). The current token attends from VMEM, unquantized — with the
+  int8 cache this differs from the XLA path (which re-reads its own
+  quantized row) by at most the row's quantization error.
+
+The decode semantics mirror models/gpt2.py exactly: pre-LN blocks
+(eps 1e-5, f32), fused qkv, flash-decode softmax in f32 over the valid
+prefix, gelu_new MLP, bf16 residual stream.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _layer_norm(x32, scale, bias, eps=1e-5):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _gelu_new(x):
+    return 0.5 * x * (1.0 + jnp.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+def _kernel(pos_ref,                                  # SMEM (1,)
+            x_ref, ln1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2_ref, wfc_ref, bfc_ref, wfc2_ref, bfc2_ref,
+            k_hbm, v_hbm, ks_hbm, vs_hbm,             # ANY (HBM)
+            y_ref, krow_ref, vrow_ref,                # outputs
+            x_s, kbuf, vbuf, ksbuf, vsbuf, m_s, l_s, acc_s,
+            sem_k, sem_v, sem_ks, sem_vs,
+            *, heads: int, ck: int, quantized: bool):
+    l = pl.program_id(0)
+    n_layers = pl.num_programs(0)
+    b, c = x_ref.shape
+    dh = c // heads
+    pos = pos_ref[0]
+
+    @pl.when(l == 0)
+    def _():
+        x_s[:, :] = x_ref[:, :]
+
+    x = x_s[:, :]                                     # (B, C) bf16
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
+    mask32 = (lane // dh == head).astype(jnp.float32)   # (C, H)
+    maskT = jnp.transpose(mask32, (1, 0)).astype(jnp.bfloat16)
+
+    def lane_expand(s32):                             # (B, H) f32 -> (B, C)
+        return jax.lax.dot_general(s32, jnp.transpose(mask32, (1, 0)),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # ---- ln_1 + fused qkv ------------------------------------------------
+    h = _layer_norm(x.astype(jnp.float32), ln1_ref[0, 0].astype(jnp.float32),
+                    ln1_ref[0, 1].astype(jnp.float32)).astype(jnp.bfloat16)
+    qkv = jax.lax.dot_general(h, wqkv_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv = qkv.astype(jnp.bfloat16) + bqkv_ref[0, 0]   # flax adds bias in bf16
+    q = qkv[:, :c]
+    k_cur = qkv[:, c:2 * c]
+    v_cur = qkv[:, 2 * c:]
+    krow_ref[0] = k_cur
+    vrow_ref[0] = v_cur
+
+    # block-diagonal q operand for per-head logits from merged channels
+    qf = q.astype(jnp.float32)
+    qbd = (qf[:, :, None] * mask32[None]).astype(jnp.bfloat16)  # (B, C, H)
+
+    # ---- flash-decode over the valid cache prefix + the current row ------
+    # current row first: logits_cur[b,h] = sum_{c in head h} q*k / sqrt(dh)
+    logit_cur = jax.lax.dot_general(
+        (qf * k_cur.astype(jnp.float32)), mask32,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * (1.0 / np.sqrt(dh))  # (B, H)
+    m_s[:, :] = logit_cur
+    l_s[:, :] = jnp.ones((b, heads), jnp.float32)
+    acc_s[:, :] = v_cur.astype(jnp.float32)
+
+    n_chunks = pl.cdiv(pos, ck)                       # prefix rows: [0, pos)
+
+    def dma(slot, ci):
+        start = ci * ck
+        pltpu.make_async_copy(k_hbm.at[l, :, pl.ds(start, ck), :],
+                              kbuf.at[slot], sem_k.at[slot]).start()
+        pltpu.make_async_copy(v_hbm.at[l, :, pl.ds(start, ck), :],
+                              vbuf.at[slot], sem_v.at[slot]).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(kbuf.at[slot], kbuf.at[slot], sem_k.at[slot]).wait()
+        pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot], sem_v.at[slot]).wait()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0)
+    if quantized:
+        @pl.when(n_chunks > 0)
+        def _():
+            # scales travel FLATTENED as (L, B, T*H): the (L, B, T, H)
+            # form's 16-wide minor dim cannot be DMA-sliced under the
+            # 128-lane tiling; each layer's full slab moves once (~6 MB)
+            # and chunks slice (lane-aligned) + reshape from VMEM
+            pltpu.make_async_copy(ks_hbm.at[l], ksbuf, sem_ks).start()
+            pltpu.make_async_copy(vs_hbm.at[l], vsbuf, sem_vs).start()
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(jax.lax.rem(ci + 1, 2), ci + 1)
+
+        wait(slot)
+        if quantized:
+            @pl.when(ci == 0)
+            def _():
+                pltpu.make_async_copy(ksbuf, ksbuf, sem_ks).wait()
+                pltpu.make_async_copy(vsbuf, vsbuf, sem_vs).wait()
+
+        k_blk = kbuf[slot].astype(jnp.bfloat16)       # (B, ck, C)
+        v_blk = vbuf[slot].astype(jnp.bfloat16)
+        start = ci * ck
+        logits = jax.lax.dot_general(
+            k_blk, qbd, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (1.0 / np.sqrt(dh))
+        if quantized:
+            ks_blk = ksbuf[:, pl.ds(start * heads, ck * heads)]
+            logits = logits * ks_blk.reshape(b, ck, heads)
+        posv = ci * ck + jax.lax.broadcasted_iota(jnp.int32, (b, ck, heads), 1)
+        logits = jnp.where(posv < pos, logits, NEG)
+        m_new = jnp.maximum(m_s[:, :], logits.max(axis=1))
+        p = jnp.exp(logits - m_new[:, None, :])       # (B, ck, H) f32
+        alpha = jnp.exp(m_s[:, :] - m_new)
+        if quantized:
+            vs_blk = vsbuf[:, pl.ds(start * heads, ck * heads)]
+            p_v = p * vs_blk.reshape(b, ck, heads)
+        else:
+            p_v = p
+        l_s[:, :] = l_s[:, :] * alpha + p.sum(axis=1)
+        m_s[:, :] = m_new
+        p_exp = jax.lax.dot_general(
+            p_v.astype(jnp.bfloat16).reshape(b * ck, heads), maskT,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(
+                jnp.bfloat16).reshape(b, ck, c)
+        pv = jnp.sum(p_exp * v_blk, axis=1, dtype=jnp.float32)
+        acc_s[:, :] = acc_s[:, :] * lane_expand(alpha) + pv
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    attn = (acc_s[:, :] / lane_expand(l_s[:, :])).astype(jnp.bfloat16)
+
+    # ---- attn proj + residual --------------------------------------------
+    proj = jax.lax.dot_general(attn, wproj_ref[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    x = x + (proj.astype(jnp.bfloat16) + bproj_ref[0, 0])
+
+    # ---- ln_2 + MLP + residual -------------------------------------------
+    h2 = _layer_norm(x.astype(jnp.float32), ln2_ref[0, 0].astype(jnp.float32),
+                     ln2_ref[0, 1].astype(jnp.float32)).astype(jnp.bfloat16)
+    f = jax.lax.dot_general(h2, wfc_ref[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    f = _gelu_new(f.astype(jnp.bfloat16) + bfc_ref[0, 0])
+    f2 = jax.lax.dot_general(f, wfc2_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    x = x + (f2.astype(jnp.bfloat16) + bfc2_ref[0, 0])
+
+    x_s[:, :] = x
+    y_ref[:, :] = x                                   # final layer's persists
+
+
+def prepare_stacked_params(gpt_params: dict) -> dict:
+    """Scan-stacked gpt params ({'h_scan': {'block': ...}}) -> the kernel's
+    input arrays, bf16. Call once at load; pass the result to every step."""
+    blk = gpt_params["h_scan"]["block"]
+    f = lambda a: jnp.asarray(a, jnp.bfloat16)
+
+    def ln(p):  # (L, 2, C): [scale, bias]
+        return jnp.stack([f(p["scale"]), f(p["bias"])], axis=1)
+
+    def bias(a):  # (L, X) -> (L, 1, X): trailing block dims must equal the
+        return f(a)[:, None, :]  # full array dims (Pallas tiling rule)
+
+    return {
+        "ln1": ln(blk["ln_1"]), "ln2": ln(blk["ln_2"]),
+        "wqkv": f(blk["attn"]["c_attn"]["kernel"]),
+        "bqkv": bias(blk["attn"]["c_attn"]["bias"]),
+        "wproj": f(blk["attn"]["c_proj"]["kernel"]),
+        "bproj": bias(blk["attn"]["c_proj"]["bias"]),
+        "wfc": f(blk["mlp_fc"]["kernel"]), "bfc": bias(blk["mlp_fc"]["bias"]),
+        "wfc2": f(blk["mlp_proj"]["kernel"]),
+        "bfc2": bias(blk["mlp_proj"]["bias"]),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "ck", "interpret"))
+def fused_decode_step(stacked: dict, x, cache: dict, cache_index, *,
+                      heads: int, ck: int = 32, interpret: bool = False):
+    """One full decode step over all layers.
+
+    x: (B, C) bf16 token embedding (post decode_embed). cache: the
+    models/gpt2.init_kv_cache dict, B-major merged layout (READ-ONLY).
+    Returns (hidden (B, C) bf16 pre-ln_f, k_rows (L, B, C) bf16,
+    v_rows (L, B, C) bf16) — the caller quantizes (if int8) and writes the
+    rows at ``cache_index`` with two stack-wide dynamic_update_slices.
+    """
+    ck_cache, cv_cache = cache["k"], cache["v"]
+    quantized = "k_scale" in cache
+    lcount, b, t_max, c = ck_cache.shape
+    assert t_max % ck == 0, (t_max, ck)
+    if quantized:
+        # flatten (L, B, T, H) -> (L, B, T*H): the kernel DMAs whole-layer
+        # scale slabs and lane-slices chunks (see kernel comment)
+        ks = cache["k_scale"].reshape(lcount, b, t_max * heads)
+        vs = cache["v_scale"].reshape(lcount, b, t_max * heads)
+    else:  # placeholder operands keep the signature static
+        ks = jnp.zeros((lcount, b, 8 * heads), jnp.float32)
+        vs = ks
+
+    grid = (lcount,)
+    w = lambda blockshape: pl.BlockSpec(blockshape,
+                                        lambda l: (l,) + (0,) * (len(blockshape) - 1))
+    out = pl.pallas_call(
+        functools.partial(_kernel, heads=heads, ck=ck, quantized=quantized),  # noqa
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # pos
+            pl.BlockSpec((b, c), lambda l: (0, 0)),          # x
+            w((1, 2, c)),                                    # ln1
+            w((1, c, 3 * c)), w((1, 1, 3 * c)),              # wqkv, bqkv
+            w((1, c, c)), w((1, 1, c)),                      # wproj, bproj
+            w((1, 2, c)),                                    # ln2
+            w((1, c, 4 * c)), w((1, 1, 4 * c)),              # wfc, bfc
+            w((1, 4 * c, c)), w((1, 1, c)),                  # wfc2, bfc2
+            pl.BlockSpec(memory_space=pltpu.ANY),            # k cache
+            pl.BlockSpec(memory_space=pltpu.ANY),            # v cache
+            pl.BlockSpec(memory_space=pltpu.ANY),            # k scales
+            pl.BlockSpec(memory_space=pltpu.ANY),            # v scales
+        ],
+        out_specs=[
+            pl.BlockSpec((b, c), lambda l: (0, 0)),          # y
+            pl.BlockSpec((1, b, c), lambda l: (l, 0, 0)),    # k rows
+            pl.BlockSpec((1, b, c), lambda l: (l, 0, 0)),    # v rows
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c), jnp.bfloat16),
+            jax.ShapeDtypeStruct((lcount, b, c), jnp.bfloat16),
+            jax.ShapeDtypeStruct((lcount, b, c), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, c), jnp.bfloat16),                # x carry
+            pltpu.VMEM((2, b, ck, c), ck_cache.dtype),       # k chunks
+            pltpu.VMEM((2, b, ck, c), cv_cache.dtype),       # v chunks
+            pltpu.VMEM((b, (t_max if quantized else 8) * heads),
+                       jnp.float32),                         # k scales (layer)
+            pltpu.VMEM((b, (t_max if quantized else 8) * heads),
+                       jnp.float32),                         # v scales (layer)
+            pltpu.VMEM((b, heads), jnp.float32),             # m
+            pltpu.VMEM((b, heads), jnp.float32),             # l
+            pltpu.VMEM((b, c), jnp.float32),                 # acc
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=124 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray([cache_index], jnp.int32).reshape(1), x.astype(jnp.bfloat16),
+      stacked["ln1"], stacked["wqkv"], stacked["bqkv"], stacked["wproj"],
+      stacked["bproj"], stacked["ln2"], stacked["wfc"], stacked["bfc"],
+      stacked["wfc2"], stacked["bfc2"], ck_cache, cv_cache, ks, vs)
+    return out[0], out[1], out[2]
