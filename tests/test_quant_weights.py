@@ -9,6 +9,8 @@ tests/test_int8_kv_cache.py.
 """
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
