@@ -81,3 +81,34 @@ def test_fused_step_empty_prefix():
     ref = np.asarray(hidden_ref[:, 0], np.float32)
     np.testing.assert_allclose(np.asarray(hidden), ref,
                                atol=0.03 * np.abs(ref).max())
+
+
+def test_sampler_fused_step_greedy_matches_xla():
+    """End-to-end sampler with settings.fused_step: the greedy token stream
+    matches the XLA layer-scan path (bf16 cache), mirroring the int8 tests'
+    greedy-agreement contract."""
+    from tortoise_tpu.models.ar_sampler import SamplerSettings, sample_speech
+    from tortoise_tpu.models.autoregressive import (UnifiedVoice,
+                                                    UnifiedVoiceConfig,
+                                                    init_unified_voice)
+
+    cfg = UnifiedVoiceConfig(layers=2, model_dim=256, heads=4,
+                             max_text_tokens=40, max_mel_tokens=48)
+    model = UnifiedVoice(cfg, dtype=jnp.bfloat16)
+    variables = init_unified_voice(model, 0)
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.model_dim))
+    text = jnp.asarray([[10, 20, 30, 0]], jnp.int32)
+    rng = jax.random.PRNGKey(5)
+
+    base = SamplerSettings(do_sample=False, max_generate=24)
+    codes_ref, _ = sample_speech(model, variables, cond, text, rng, 2,
+                                 settings=base)
+    codes_fused, _ = sample_speech(
+        model, variables, cond, text, rng, 2,
+        settings=SamplerSettings(do_sample=False, max_generate=24,
+                                 fused_step=True))
+    agree = (np.asarray(codes_ref) == np.asarray(codes_fused)).mean()
+    assert agree >= 0.9, f"greedy agreement {agree}"

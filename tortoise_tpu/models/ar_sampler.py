@@ -49,6 +49,10 @@ class SamplerSettings:
     # only needs codes (the quality path re-extracts latents teacher-forced
     # for the CLVP winners anyway) — identical token stream, leaner step
     emit_latents: bool = True
+    # static: run the 30-layer transformer step as ONE fused Pallas kernel
+    # (ops/decode_step_pallas) instead of the XLA layer scan. bf16 B-major
+    # cache only; composed verdict pending (docs/ROOFLINE.md), default off.
+    fused_step: bool = False
 
 
 def _warp_and_sample(settings: SamplerSettings, logits, seen, step_rng):
@@ -71,6 +75,43 @@ def _warp_and_sample(settings: SamplerSettings, logits, seen, step_rng):
     return jnp.argmax(warped, axis=-1)
 
 
+def _gpt_step(model, variables, settings: SamplerSettings, emb, cache, pos):
+    """(B, 1, C) embedding -> (post-ln_f hidden (B, C), updated cache)."""
+    if (settings.fused_step and "k" in cache and "k_scale" not in cache):
+        from tortoise_tpu.ops.decode_step_pallas import (fused_decode_step,
+                                                         prepare_stacked_params)
+
+        gptp = variables["params"]["gpt"]
+        # loop-invariant stacking/casting: XLA hoists it out of the decode
+        # loop, so the per-step cost is the kernel alone
+        stacked = prepare_stacked_params(gptp)
+        b = emb.shape[0]
+        interpret = jax.local_devices()[0].platform == "cpu"
+        y, k_rows, v_rows = fused_decode_step(
+            stacked, emb[:, 0], cache, pos,
+            heads=model.config.gpt_config.n_head,
+            ck=64 if b <= 64 else 32, interpret=interpret)
+        cache = dict(cache)
+        cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], k_rows[:, :, None, :].astype(cache["k"].dtype),
+            (0, 0, pos, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], v_rows[:, :, None, :].astype(cache["v"].dtype),
+            (0, 0, pos, 0))
+        lnf = gptp["ln_f"]
+        x32 = y.astype(jnp.float32)
+        mu = x32.mean(-1, keepdims=True)
+        var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+        eps = model.config.gpt_config.ln_eps
+        h = ((x32 - mu) * jax.lax.rsqrt(var + eps)
+             * lnf["scale"].astype(jnp.float32)
+             + lnf["bias"].astype(jnp.float32)).astype(emb.dtype)
+        return h, cache
+    hidden, cache = model.apply(variables, emb, cache, pos,
+                                method=UnifiedVoice.gpt_with_cache)
+    return hidden[:, 0], cache
+
+
 def _step(model, variables, settings: SamplerSettings, carry, _):
     """One decode step. carry = (cache, prev_tok, seen, finished, rng, s, pos):
     s = mel step of prev_tok (its position is s+2), pos = cache write index."""
@@ -78,9 +119,7 @@ def _step(model, variables, settings: SamplerSettings, carry, _):
     cfg = model.config
     emb = model.apply(variables, prev_tok[:, None], s,
                       method=UnifiedVoice.decode_embed)
-    hidden, cache = model.apply(variables, emb, cache, pos,
-                                method=UnifiedVoice.gpt_with_cache)
-    h = hidden[:, 0]
+    h, cache = _gpt_step(model, variables, settings, emb, cache, pos)
     logits = model.apply(variables, h[:, None],
                          method=UnifiedVoice.hidden_to_mel_logits)[:, 0]
     rng, r = jax.random.split(rng)
