@@ -109,13 +109,29 @@ def test_indivisible_candidate_count_warns(tts):
 
 
 @pytest.mark.slow
-def test_redaction_defaults_on_and_degrades_offline(tts, monkeypatch):
+def test_redaction_defaults_on_and_degrades_offline(tts, monkeypatch, tmp_path):
     """enable_redaction defaults True (reference api.py:196); with no
     wav2vec2 weights loadable the first bracketed synthesis warns and
     returns unredacted audio instead of crashing."""
     assert tts.enable_redaction is True
     assert tts.aligner is not None
-    monkeypatch.setenv("HF_HUB_OFFLINE", "1")  # make the hub fallback fail fast
+    # isolate from the machine: no local checkpoint dir can satisfy the
+    # weights store, and the HF hub fallback fails deterministically
+    # (HF_HUB_OFFLINE alone is read at transformers import time, so it is a
+    # no-op if an earlier test already imported it)
+    from tortoise_tpu import weights as weights_lib
+
+    monkeypatch.setattr(weights_lib, "MODELS_DIR", str(tmp_path))
+    monkeypatch.setattr(weights_lib, "TORCH_MODELS_DIR", str(tmp_path))
+    tts.aligner._models_dir = str(tmp_path)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    import transformers
+
+    def no_hub(*a, **k):
+        raise OSError("offline (test isolation)")
+
+    monkeypatch.setattr(transformers.Wav2Vec2ForCTC, "from_pretrained",
+                        staticmethod(no_hub))
     with pytest.warns(UserWarning, match="redaction disabled"):
         wav = tts.tts("[I am sad,] Hello there.", num_autoregressive_samples=2,
                       diffusion_iterations=2, cond_free=False, max_mel_tokens=24,

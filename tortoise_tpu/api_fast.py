@@ -477,12 +477,13 @@ class TextToSpeechFast:
                 yield wav_np[0, :emit_to * 256, 0]
             latents_f32 = np.asarray(latents, np.float32)
             stopped = last_n < codes.shape[1]
-            stream = ar_sampler.stream_continue(
-                self.autoregressive, self.ar_vars, carry, codes, latents_f32,
-                settings, stream_chunk_size)
-            if not stopped and target_u > emit_to:
-                # first_len so large the fused window couldn't cover it all
-                yield from emit_windows(latents_f32, last_n, int(target_u))
+            if not stopped:
+                stream = ar_sampler.stream_continue(
+                    self.autoregressive, self.ar_vars, carry, codes,
+                    latents_f32, settings, stream_chunk_size)
+                if target_u > emit_to:
+                    # first_len so large the fused window couldn't cover it
+                    yield from emit_windows(latents_f32, last_n, int(target_u))
         else:
             latents_f32, last_n, stopped = None, 0, False
             stream = ar_sampler.stream_speech(

@@ -52,7 +52,8 @@ def main(argv=None):
         gen = tts.tts_with_preset(text, voice_samples=conds, conditioning_latents=None,
                                   preset=args.preset)
         save_wav(os.path.join(args.output_path, f"{i}.wav"), gen, 24000)
-        clips.append((i, gen, text))
+        if args.cer:  # only the scorer needs the audio kept in memory
+            clips.append((i, gen, text))
 
     if args.cer:
         from tortoise_tpu.utils.wav2vec_alignment import Wav2VecAlignment

@@ -77,7 +77,10 @@ def _warp_and_sample(settings: SamplerSettings, logits, seen, step_rng):
 
 def _gpt_step(model, variables, settings: SamplerSettings, emb, cache, pos):
     """(B, 1, C) embedding -> (post-ln_f hidden (B, C), updated cache)."""
-    if (settings.fused_step and "k" in cache and "k_scale" not in cache):
+    if (settings.fused_step and "k" in cache and "k_scale" not in cache
+            and not model.config.gpt_config.quant_weights):
+        # quant_weights excluded: prepare_stacked_params would cast the raw
+        # int8 kernels to bf16 WITHOUT applying qscale — silent garbage
         from tortoise_tpu.ops.decode_step_pallas import (fused_decode_step,
                                                          prepare_stacked_params)
 

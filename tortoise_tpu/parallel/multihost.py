@@ -76,7 +76,13 @@ def initialize(coordinator_address: str | None = None,
                                    num_processes=n, process_id=pid)
     except RuntimeError as e:
         msg = str(e).lower()
-        if "once" in msg or "already" in msg:
+        # ONLY the in-process re-initialization race is benign. A bare
+        # "already" match would also swallow genuine coordinator failures
+        # ("address already in use", "coordination service already
+        # exists"), silently serving a pod from one host.
+        if ("initialize" in msg or "initialized" in msg) and \
+                ("once" in msg or "already" in msg) and \
+                "address" not in msg:
             # raced with another initializer in-process; state is valid
             return jax.process_count() > 1
         # Genuine failure (backend already up, bad coordinator address,
