@@ -236,3 +236,17 @@ def test_tts_int8_weights_end_to_end():
                    max_mel_tokens=48, verbose=False)
     assert wav.ndim == 3 and wav.shape[2] % 256 == 0
     assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+
+
+def test_tts_stream_staged_fallback_branch(tts):
+    """first_chunk_size beyond the fused head's latent window (_W_LAT) takes
+    the staged prefill+segment path; the stream still emits finite,
+    deterministic audio."""
+    kwargs = dict(use_deterministic_seed=21, max_mel_tokens=80,
+                  first_chunk_size=70, stream_chunk_size=70, verbose=False)
+    chunks = list(tts.tts_stream("Large first chunk fallback.", **kwargs))
+    assert len(chunks) >= 1
+    total = np.concatenate(chunks)
+    assert total.size > 0 and np.isfinite(total).all()
+    chunks2 = list(tts.tts_stream("Large first chunk fallback.", **kwargs))
+    np.testing.assert_array_equal(np.concatenate(chunks2), total)
