@@ -207,3 +207,41 @@ def test_vocoder_bucketed_decode_matches_exact(tts):
             np.testing.assert_allclose(stitched, np.asarray(exact), atol=1e-5)
     finally:
         tts.vocoder_vars = orig
+
+
+@pytest.mark.slow
+def test_gpt_fused_step_knob_quality_e2e():
+    """gpt_fused_step=True drives the quality pipeline through the fused
+    decode kernel (interpret mode on CPU); incompatible configs degrade to
+    the XLA path instead of mis-casting int8 kernels."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts_f = TextToSpeech(
+            autoregressive_batch_size=2, half=False, gpt_fused_step=True,
+            enable_redaction=False,
+            ar_config=UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                                         max_text_tokens=60, max_mel_tokens=80),
+            diffusion_config=DiffusionTtsConfig(model_channels=128, num_layers=2,
+                                                in_latent_channels=128, num_heads=4),
+            clvp_config=CLVPConfig(dim_text=128, dim_speech=128, dim_latent=128,
+                                   text_enc_depth=2, text_heads=4,
+                                   speech_enc_depth=2, speech_heads=4))
+    assert tts_f.gpt_fused_step is True
+    wav = tts_f.tts("Fused step tiny test.", num_autoregressive_samples=2,
+                    diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
+                    use_deterministic_seed=19, verbose=False)
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+    # int8 weights + fused step is refused (would drop qscale silently)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts_8 = TextToSpeech(
+            autoregressive_batch_size=2, half=False, gpt_fused_step=True,
+            gpt_weights="int8", enable_redaction=False,
+            ar_config=UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                                         max_text_tokens=60, max_mel_tokens=80),
+            diffusion_config=DiffusionTtsConfig(model_channels=128, num_layers=2,
+                                                in_latent_channels=128, num_heads=4),
+            clvp_config=CLVPConfig(dim_text=128, dim_speech=128, dim_latent=128,
+                                   text_enc_depth=2, text_heads=4,
+                                   speech_enc_depth=2, speech_heads=4))
+    assert tts_8.gpt_fused_step is False

@@ -129,6 +129,7 @@ class TextToSpeech:
                  tokenizer_vocab_file=None, tokenizer_basic=False,
                  allow_random_weights=True, text_bucket: int = 32, mesh=None,
                  kv_cache_dtype="bf16", gpt_weights="bf16",
+                 gpt_fused_step: bool = False,
                  flash_attn: bool | None = None,
                  ar_config: UnifiedVoiceConfig | None = None,
                  diffusion_config: DiffusionTtsConfig | None = None,
@@ -141,6 +142,10 @@ class TextToSpeech:
         # error — see tests/test_int8_kv_cache.py).
         self.kv_cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
                                "f32": jnp.float32}[kv_cache_dtype]
+        # whole-step fused Pallas decode kernel (ops/decode_step_pallas.py);
+        # bf16 cache + full-precision weights only, composed verdict pending
+        self.gpt_fused_step = (gpt_fused_step and kv_cache_dtype == "bf16"
+                               and gpt_weights != "int8")
         # Pallas flash attention for the diffusion stack (ops/attn_pallas.py):
         # default on accelerators, off on CPU (there it would run interpreted)
         self.flash_attn = (flash_attn if flash_attn is not None
@@ -557,6 +562,7 @@ class TextToSpeech:
                                    repetition_penalty=repetition_penalty,
                                    typical_mass=typical_mass if typical_sampling else None,
                                    max_generate=max_mel_tokens,
+                                   fused_step=self.gpt_fused_step,
                                    emit_latents=False)  # winners re-extracted
         num_batches = max(1, num_autoregressive_samples // self.autoregressive_batch_size)
         bs = min(num_autoregressive_samples, self.autoregressive_batch_size)
