@@ -87,8 +87,11 @@ class TextToSpeechFast:
                  tokenizer_basic=False, dtype=jnp.bfloat16, allow_random_weights=True,
                  ar_config: UnifiedVoiceConfig | None = None,
                  latent_bucket: int = 64, text_bucket: int = 32,
-                 gpt_weights="bf16"):
+                 gpt_weights="bf16", gpt_fused_step: bool = False):
         self.dtype = dtype
+        # whole-step fused Pallas decode kernel (ops/decode_step_pallas.py);
+        # full-precision weights only, composed verdict pending
+        self.gpt_fused_step = gpt_fused_step and gpt_weights != "int8"
         self.latent_bucket = latent_bucket
         # Pad text to bucket multiples with the stop token so each sentence
         # length reuses one compiled prefill/decode program. Stop-token text
@@ -327,6 +330,7 @@ class TextToSpeechFast:
         settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
                                    max_generate=max_mel_tokens,
+                                   fused_step=self.gpt_fused_step,
                                    emit_latents=False)  # _finish_wav re-extracts
         rng = jax.random.PRNGKey(det_seed)
         codes, _ = sample_speech(self.autoregressive, self.ar_vars,
@@ -434,7 +438,8 @@ class TextToSpeechFast:
         max_mel_tokens = self._clamp_mel_tokens(max_mel_tokens)
         settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
-                                   max_generate=max_mel_tokens)
+                                   max_generate=max_mel_tokens,
+                                   fused_step=self.gpt_fused_step)
         cond_j = jnp.asarray(cond)
 
         u_emit = 0  # emission frontier, in u-frames
