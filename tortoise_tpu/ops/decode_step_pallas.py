@@ -31,6 +31,18 @@ Design notes (measured on v5e, see docs/ROOFLINE.md):
 The decode semantics mirror models/gpt2.py exactly: pre-LN blocks
 (eps 1e-5, f32), fused qkv, flash-decode softmax in f32 over the valid
 prefix, gelu_new MLP, bf16 residual stream.
+
+If the int8 flattened-scale multiply ever needs to avoid the in-kernel
+(B, ck*H) -> (B, ck, H) reshape (Mosaic: "unsupported shape cast"), the
+worked-out alternative is to flip the whole attention inner loop to a
+(B, H, ck) logits orientation: build qbdT (B, H, C) directly by broadcast
+(no transpose), logits = dot(qbdT, k_blk) contracting the LAST dims of
+both (the most standard batched-matmul form), store scales as (L, B, H, T)
+slabs (lane dim = T, DMA-sliceable at ck=128 granularity), apply them
+elementwise in (B, H, ck) with zero relayouts, reduce m/l over lanes, and
+produce p_exp with dot_general(p (B,H,ck), mask (C,H)) contracting H.
+tools/probe_mosaic_ops.py has compile+timing probes for each of these
+primitives — run it before committing to either orientation.
 """
 from __future__ import annotations
 
