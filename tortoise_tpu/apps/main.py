@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["bf16", "int8"],
                         help="int8 weight-only GPT kernels (faster small-batch "
                              "decode, bounded error)")
+    parser.add_argument("--gpt-fused-step", action="store_true",
+                        help="whole-step fused Pallas decode kernel "
+                             "(experimental; bf16 cache/weights only)")
     for flag, typ in [("--num-autoregressive-samples", int), ("--temperature", float),
                       ("--length-penalty", float), ("--repetition-penalty", float),
                       ("--top-p", float), ("--max-mel-tokens", int),
@@ -105,6 +108,7 @@ def main(argv=None):
                        autoregressive_batch_size=args.batch_size,
                        kv_cache_dtype=args.kv_cache_dtype,
                        gpt_weights=args.gpt_weights,
+                       gpt_fused_step=args.gpt_fused_step,
                        enable_redaction=not args.disable_redaction and "[" in text)
 
     regenerate = [int(x) for x in args.regenerate.split(",")] if args.regenerate else None
