@@ -129,7 +129,7 @@ class TextToSpeech:
                  tokenizer_vocab_file=None, tokenizer_basic=False,
                  allow_random_weights=True, text_bucket: int = 32, mesh=None,
                  kv_cache_dtype="bf16", gpt_weights="bf16",
-                 gpt_fused_step: bool = False,
+                 gpt_fused_step: bool | None = None,
                  flash_attn: bool | None = None,
                  ar_config: UnifiedVoiceConfig | None = None,
                  diffusion_config: DiffusionTtsConfig | None = None,
@@ -143,9 +143,14 @@ class TextToSpeech:
         self.kv_cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
                                "f32": jnp.float32}[kv_cache_dtype]
         # whole-step fused Pallas decode kernel (ops/decode_step_pallas.py);
-        # bf16 cache + full-precision weights only, composed verdict pending
+        # bf16 cache + full-precision weights + unsharded decode only.
+        # Default ON where measured to win (docs/ROOFLINE.md: standard
+        # preset p50 6.93->6.58 s on v5e); CPU would run it interpreted.
+        if gpt_fused_step is None:
+            gpt_fused_step = (jax.devices()[0].platform != "cpu"
+                              and mesh is None and half)
         self.gpt_fused_step = (gpt_fused_step and kv_cache_dtype == "bf16"
-                               and gpt_weights != "int8")
+                               and gpt_weights != "int8" and mesh is None)
         # Pallas flash attention for the diffusion stack (ops/attn_pallas.py):
         # default on accelerators, off on CPU (there it would run interpreted)
         self.flash_attn = (flash_attn if flash_attn is not None

@@ -87,10 +87,15 @@ class TextToSpeechFast:
                  tokenizer_basic=False, dtype=jnp.bfloat16, allow_random_weights=True,
                  ar_config: UnifiedVoiceConfig | None = None,
                  latent_bucket: int = 64, text_bucket: int = 32,
-                 gpt_weights="bf16", gpt_fused_step: bool = False):
+                 gpt_weights="bf16", gpt_fused_step: bool | None = None):
         self.dtype = dtype
         # whole-step fused Pallas decode kernel (ops/decode_step_pallas.py);
-        # full-precision weights only, composed verdict pending
+        # full-precision weights only. Default ON on accelerators (measured
+        # 1.58->1.34 ms/tok at B=1 on v5e, docs/ROOFLINE.md); CPU would run
+        # it interpreted. Sharded tts_batch falls back in the sampler.
+        if gpt_fused_step is None:
+            gpt_fused_step = (jax.devices()[0].platform != "cpu"
+                              and dtype == jnp.bfloat16)
         self.gpt_fused_step = gpt_fused_step and gpt_weights != "int8"
         self.latent_bucket = latent_bucket
         # Pad text to bucket multiples with the stop token so each sentence

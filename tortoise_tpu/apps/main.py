@@ -51,9 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["bf16", "int8"],
                         help="int8 weight-only GPT kernels (faster small-batch "
                              "decode, bounded error)")
-    parser.add_argument("--gpt-fused-step", action="store_true",
-                        help="whole-step fused Pallas decode kernel "
-                             "(experimental; bf16 cache/weights only)")
+    parser.add_argument("--gpt-fused-step", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="whole-step fused Pallas decode kernel (bf16 "
+                             "cache/weights only; default: on for TPU)")
     for flag, typ in [("--num-autoregressive-samples", int), ("--temperature", float),
                       ("--length-penalty", float), ("--repetition-penalty", float),
                       ("--top-p", float), ("--max-mel-tokens", int),

@@ -51,7 +51,9 @@ class SamplerSettings:
     emit_latents: bool = True
     # static: run the 30-layer transformer step as ONE fused Pallas kernel
     # (ops/decode_step_pallas) instead of the XLA layer scan. bf16 B-major
-    # cache only; composed verdict pending (docs/ROOFLINE.md), default off.
+    # cache only; measured win on v5e (docs/ROOFLINE.md: 6.71->5.77 ms/tok
+    # B=64, 1.58->1.34 B=1). Raw default off; the APIs turn it on for the
+    # eligible path on accelerators.
     fused_step: bool = False
 
 
@@ -88,12 +90,13 @@ def _gpt_step(model, variables, settings: SamplerSettings, emb, cache, pos):
         # loop-invariant stacking/casting: XLA hoists it out of the decode
         # loop, so the per-step cost is the kernel alone
         stacked = prepare_stacked_params(gptp)
-        b = emb.shape[0]
         interpret = jax.local_devices()[0].platform == "cpu"
+        # ck=32 measured best on v5e at both operating points (B=64:
+        # 5.77 ms/tok vs 6.15 at ck=64; ck=128 exceeds the VMEM budget)
         y, k_rows, v_rows = fused_decode_step(
             stacked, emb[:, 0], cache, pos,
             heads=model.config.gpt_config.n_head,
-            ck=64 if b <= 64 else 32, interpret=interpret)
+            ck=32, interpret=interpret)
         cache = dict(cache)
         cache["k"] = jax.lax.dynamic_update_slice(
             cache["k"], k_rows[:, :, None, :].astype(cache["k"].dtype),
@@ -203,6 +206,11 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
     """
     prompt = _make_prompt(model, variables, cond_latent, text_tokens,
                           num_samples, batch_sharding)
+    if settings.fused_step and (batch_sharding is not None
+                                or cache_sharding is not None):
+        # the fused kernel is a single-device pallas_call; GSPMD cannot
+        # partition it over a dp/tp mesh — sharded decode uses the XLA stack
+        settings = dataclasses.replace(settings, fused_step=False)
     return _decode(model, variables, prompt, rng, settings, cache_dtype,
                    cache_sharding)
 
