@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Composed fused-decode-kernel A/B: the measurement round 3 skipped.
+
+Measures END-TO-END pipelines with the fused whole-step decode kernel
+(ops/decode_step_pallas) ON vs OFF — not the chained-step microbench — at
+the operating points that decide the default:
+
+* fast path B=1 bf16 (the BENCH headline: TextToSpeechFast.tts),
+* fast path batched serving B=64 (tts_batch),
+* quality ``standard`` preset (the 256-candidate composed run).
+
+Prints one JSON object; commit the output into docs/ROOFLINE.md and use it
+to set the shipped default (VERDICT r3 next-round task 1: a kernel that
+loses composed is not shipped ON).
+
+Run on hardware: python tools/bench_fused_ab.py [--runs 5] [--tokens 200]
+                     [--skip-quality] [--skip-batch]
+"""
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SENTENCE = ("Thanks for reading this article. I hope you found it informative "
+            "and that it made you curious about the world of speech synthesis.")
+
+
+def _measure(fn, runs):
+    fn(0)  # warm compiles
+    results = [fn(i + 1) for i in range(runs)]
+    walls = sorted(w for w, _ in results)
+    p50 = walls[len(walls) // 2]
+    rtf = statistics.median(w / a for w, a in results)
+    return {"p50_s": round(p50, 4), "rtf": round(rtf, 4),
+            "audio_s": round(results[0][1], 2), "runs": runs}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--tokens", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--skip-batch", action="store_true")
+    ap.add_argument("--quality-runs", type=int, default=3)
+    args = ap.parse_args()
+
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import jax
+    import jax.numpy as jnp
+
+    import tortoise_tpu
+
+    tortoise_tpu.enable_compilation_cache()
+    from tortoise_tpu.api_fast import TextToSpeechFast
+
+    out = {"device": str(jax.devices()[0]), "ar_tokens": args.tokens}
+
+    for fused in (False, True):
+        key = "fused_on" if fused else "fused_off"
+        tts = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
+                               gpt_fused_step=fused)
+        assert tts.gpt_fused_step == fused, (tts.gpt_fused_step, fused)
+
+        def run(seed):
+            t0 = time.perf_counter()
+            wav = tts.tts(SENTENCE, use_deterministic_seed=seed,
+                          max_mel_tokens=args.tokens, verbose=False)
+            return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+
+        out.setdefault("fast_b1", {})[key] = _measure(run, args.runs)
+        print(f"fast_b1 {key}: {out['fast_b1'][key]}", file=sys.stderr)
+
+        if not args.skip_batch:
+            texts = [f"{SENTENCE} Utterance number {i}."
+                     for i in range(args.batch)]
+
+            def serve(seed):
+                t0 = time.perf_counter()
+                wavs = tts.tts_batch(texts, use_deterministic_seed=seed,
+                                     max_mel_tokens=args.tokens, verbose=False)
+                return (time.perf_counter() - t0,
+                        sum(w.shape[-1] for w in wavs) / 24000.0)
+
+            row = _measure(serve, max(2, args.runs - 2))
+            row["throughput_audio_s_per_s"] = round(1.0 / row["rtf"], 2)
+            out.setdefault(f"fast_batch{args.batch}", {})[key] = row
+            print(f"fast_batch{args.batch} {key}: {row}", file=sys.stderr)
+        del tts
+
+    if not args.skip_quality:
+        from tortoise_tpu.api import TextToSpeech
+
+        for fused in (False, True):
+            key = "fused_on" if fused else "fused_off"
+            qtts = TextToSpeech(half=True, gpt_fused_step=fused)
+
+            def qrun(seed):
+                t0 = time.perf_counter()
+                wav = qtts.tts_with_preset(
+                    SENTENCE, preset="standard", use_deterministic_seed=seed,
+                    max_mel_tokens=args.tokens, verbose=False)
+                return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+
+            out.setdefault("quality_standard", {})[key] = _measure(
+                qrun, args.quality_runs)
+            print(f"quality_standard {key}: {out['quality_standard'][key]}",
+                  file=sys.stderr)
+            del qtts
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

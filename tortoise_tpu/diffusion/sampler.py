@@ -32,6 +32,11 @@ class SamplerConfig:
     ramp_conditioning_free: bool = True
     clip_denoised: bool = True
     eta: float = 0.0  # ddim only
+    # ancestral only: scales the per-step noise term. 0 gives the fully
+    # deterministic mean trajectory (the per-step analog of the reference's
+    # diffusion_temperature=0, which only zeroes the INITIAL noise) — used
+    # for reproduction/debugging and cross-framework parity runs.
+    noise_scale: float = 1.0
 
 
 def _tables(schedule: DiffusionSchedule) -> dict[str, jnp.ndarray]:
@@ -109,7 +114,7 @@ def make_p_sample_loop(model_fn: Callable, schedule: DiffusionSchedule,
                                                cfg.clip_denoised)
             nonzero = (t != 0).astype(jnp.float32)
             z = jax.random.normal(r, x.shape)
-            x_next = mean + nonzero * jnp.exp(0.5 * logvar) * z
+            x_next = mean + cfg.noise_scale * nonzero * jnp.exp(0.5 * logvar) * z
             return (x_next, rng), None
 
         (x_final, _), _ = jax.lax.scan(step, (noise, rng),

@@ -77,19 +77,39 @@ def _warp_and_sample(settings: SamplerSettings, logits, seen, step_rng):
     return jnp.argmax(warped, axis=-1)
 
 
-def _gpt_step(model, variables, settings: SamplerSettings, emb, cache, pos):
+def stack_fused_params(variables: dict):
+    """Fused-kernel weight stack (ops/decode_step_pallas) for a UnifiedVoice
+    param tree. Call ONCE at model load and pass the result to the samplers:
+    round 3 shipped the stacking inside the decode loop body relying on XLA
+    loop-invariant code motion to hoist it, and on hardware the hoist does
+    NOT happen inside ``_decode``'s while_loop — every step re-streamed the
+    ~750 MB stacked weights, regressing the fast path p50 0.513 -> 0.895 s
+    (BENCH_r03, VERDICT r3 weak #1). Explicit threading makes the hoist
+    deterministic."""
+    from tortoise_tpu.ops.decode_step_pallas import prepare_stacked_params
+
+    return jax.jit(prepare_stacked_params)(variables["params"]["gpt"])
+
+
+def _resolve_stacked(model, variables, settings: SamplerSettings, stacked):
+    """Eligibility gate + one-time stacking for the fused decode kernel."""
+    if not settings.fused_step:
+        return None
+    if model.config.gpt_config.quant_weights:
+        # prepare_stacked_params would cast the raw int8 kernels to bf16
+        # WITHOUT applying qscale — silent garbage; use the XLA stack
+        return None
+    return stacked if stacked is not None else stack_fused_params(variables)
+
+
+def _gpt_step(model, variables, settings: SamplerSettings, stacked, emb, cache,
+              pos):
     """(B, 1, C) embedding -> (post-ln_f hidden (B, C), updated cache)."""
-    if (settings.fused_step and "k" in cache and "k_scale" not in cache
-            and not model.config.gpt_config.quant_weights):
-        # quant_weights excluded: prepare_stacked_params would cast the raw
-        # int8 kernels to bf16 WITHOUT applying qscale — silent garbage
-        from tortoise_tpu.ops.decode_step_pallas import (fused_decode_step,
-                                                         prepare_stacked_params)
+    if (settings.fused_step and stacked is not None and "k" in cache
+            and "k_scale" not in cache):
+        from tortoise_tpu.ops.decode_step_pallas import fused_decode_step
 
         gptp = variables["params"]["gpt"]
-        # loop-invariant stacking/casting: XLA hoists it out of the decode
-        # loop, so the per-step cost is the kernel alone
-        stacked = prepare_stacked_params(gptp)
         interpret = jax.local_devices()[0].platform == "cpu"
         # ck=32 measured best on v5e at both operating points (B=64:
         # 5.77 ms/tok vs 6.15 at ck=64; ck=128 exceeds the VMEM budget)
@@ -118,14 +138,14 @@ def _gpt_step(model, variables, settings: SamplerSettings, emb, cache, pos):
     return hidden[:, 0], cache
 
 
-def _step(model, variables, settings: SamplerSettings, carry, _):
+def _step(model, variables, settings: SamplerSettings, stacked, carry, _):
     """One decode step. carry = (cache, prev_tok, seen, finished, rng, s, pos):
     s = mel step of prev_tok (its position is s+2), pos = cache write index."""
     cache, prev_tok, seen, finished, rng, s, pos = carry
     cfg = model.config
     emb = model.apply(variables, prev_tok[:, None], s,
                       method=UnifiedVoice.decode_embed)
-    h, cache = _gpt_step(model, variables, settings, emb, cache, pos)
+    h, cache = _gpt_step(model, variables, settings, stacked, emb, cache, pos)
     logits = model.apply(variables, h[:, None],
                          method=UnifiedVoice.hidden_to_mel_logits)[:, 0]
     rng, r = jax.random.split(rng)
@@ -178,10 +198,11 @@ def _prefill(model, variables, prompt, rng, settings: SamplerSettings, cache_dty
     return carry, tok0, latent0
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def _segment(model, variables, carry, settings: SamplerSettings, seg_len: int):
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _segment(model, variables, stacked, carry, settings: SamplerSettings,
+             seg_len: int):
     """Scan ``seg_len`` decode steps from ``carry``."""
-    step = functools.partial(_step, model, variables, settings)
+    step = functools.partial(_step, model, variables, settings, stacked)
     carry, ys = jax.lax.scan(step, carry, None, length=seg_len)
     if settings.emit_latents:
         toks, latents = ys
@@ -194,7 +215,7 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
                   text_tokens: jnp.ndarray, rng: jax.Array, num_samples: int,
                   settings: SamplerSettings = SamplerSettings(),
                   cache_dtype=jnp.bfloat16, batch_sharding=None,
-                  cache_sharding=None):
+                  cache_sharding=None, stacked=None):
     """Sample ``num_samples`` candidate mel-code sequences.
 
     cond_latent: (1, D) or (B, D); text_tokens: (1, T) int32 with the
@@ -211,8 +232,9 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
         # the fused kernel is a single-device pallas_call; GSPMD cannot
         # partition it over a dp/tp mesh — sharded decode uses the XLA stack
         settings = dataclasses.replace(settings, fused_step=False)
-    return _decode(model, variables, prompt, rng, settings, cache_dtype,
-                   cache_sharding)
+    stacked = _resolve_stacked(model, variables, settings, stacked)
+    return _decode(model, variables, stacked, prompt, rng, settings,
+                   cache_dtype, cache_sharding)
 
 
 def _make_prompt(model, variables, cond_latent, text_tokens, num_samples,
@@ -228,9 +250,9 @@ def _make_prompt(model, variables, cond_latent, text_tokens, num_samples,
     return prompt
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
-def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtype,
-            cache_sharding=None):
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _decode(model, variables, stacked, prompt, rng, settings: SamplerSettings,
+            cache_dtype, cache_sharding=None):
     """Fused prefill + early-exit decode loop (the batch-candidates path).
 
     A ``while_loop`` stops as soon as every candidate has latched its stop
@@ -259,7 +281,7 @@ def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtyp
 
     def body(state):
         carry, toks_buf, lats_buf = state
-        carry, ys = _step(model, variables, settings, carry, None)
+        carry, ys = _step(model, variables, settings, stacked, carry, None)
         s = carry[5]  # tok sits at sequence index s (post-increment)
         toks_buf = jax.lax.dynamic_update_slice(toks_buf, ys[0][:, None], (0, s))
         if emit:
@@ -272,8 +294,8 @@ def _decode(model, variables, prompt, rng, settings: SamplerSettings, cache_dtyp
     return toks_buf, (lats_buf if emit else None)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
-def prefill_segment(model, variables, cond_latent, text_tokens, rng,
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+def prefill_segment(model, variables, stacked, cond_latent, text_tokens, rng,
                     settings: SamplerSettings, seg_len: int, cache_dtype):
     """Fused prompt-build + prefill + first ``seg_len`` decode steps.
 
@@ -289,8 +311,8 @@ def prefill_segment(model, variables, cond_latent, text_tokens, rng,
                                                 settings, cache_dtype)
     toks, latents = tok0[:, None], latent0[:, None]
     if seg_len > 0:
-        carry, seg_toks, seg_lats = _segment.__wrapped__(model, variables,
-                                                         carry, settings, seg_len)
+        carry, seg_toks, seg_lats = _segment.__wrapped__(
+            model, variables, stacked, carry, settings, seg_len)
         toks = jnp.concatenate([toks, seg_toks], 1)
         if settings.emit_latents:
             latents = jnp.concatenate([latents, seg_lats], 1)
@@ -298,17 +320,20 @@ def prefill_segment(model, variables, cond_latent, text_tokens, rng,
 
 
 def stream_continue(model: UnifiedVoice, variables: dict, carry, toks_np,
-                    lats_np, settings: SamplerSettings, seg_len: int):
+                    lats_np, settings: SamplerSettings, seg_len: int,
+                    stacked=None):
     """Continue an incremental decode from ``carry`` (a prefill_segment
     result already yielded to the caller): yields cumulative
     (codes (1, n), latents (1, n, D)) numpy arrays per segment, stopping
     once the stop token latches or ``max_generate`` is reached."""
     cfg = model.config
+    stacked = _resolve_stacked(model, variables, settings, stacked)
     produced = toks_np.shape[1]
     finished = bool((toks_np[0] == cfg.stop_mel_token).any())
     while produced < settings.max_generate and not finished:
         n = min(seg_len, settings.max_generate - produced)
-        carry, toks, latents = _segment(model, variables, carry, settings, n)
+        carry, toks, latents = _segment(model, variables, stacked, carry,
+                                        settings, n)
         toks = np.asarray(toks)
         toks_np = np.concatenate([toks_np, toks], 1)
         lats_np = np.concatenate([lats_np, np.asarray(latents)], 1)
@@ -320,7 +345,7 @@ def stream_continue(model: UnifiedVoice, variables: dict, carry, toks_np,
 def stream_speech(model: UnifiedVoice, variables: dict, cond_latent, text_tokens,
                   rng, settings: SamplerSettings = SamplerSettings(),
                   seg_len: int = 20, cache_dtype=jnp.bfloat16,
-                  first_seg_len: int | None = None):
+                  first_seg_len: int | None = None, stacked=None):
     """Incremental decode: yields (codes (1, n), latents (1, n, D)) numpy
     chunks as they are produced, stopping early once the stop token latches.
     The first yield lands after ONE fused prefill+segment dispatch — this is
@@ -328,10 +353,11 @@ def stream_speech(model: UnifiedVoice, variables: dict, cond_latent, text_tokens
     ``seg_len``) can be set smaller to get the first audio out sooner (costs
     one extra compiled segment shape)."""
     first = min(first_seg_len or seg_len, max(settings.max_generate - 1, 0))
-    carry, toks, latents = prefill_segment(model, variables, cond_latent,
-                                           text_tokens, rng, settings, first,
-                                           cache_dtype)
+    stacked = _resolve_stacked(model, variables, settings, stacked)
+    carry, toks, latents = prefill_segment(model, variables, stacked,
+                                           cond_latent, text_tokens, rng,
+                                           settings, first, cache_dtype)
     toks_np, lats_np = np.asarray(toks), np.asarray(latents)
     yield toks_np, lats_np
     yield from stream_continue(model, variables, carry, toks_np, lats_np,
-                               settings, seg_len)
+                               settings, seg_len, stacked=stacked)
