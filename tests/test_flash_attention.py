@@ -180,13 +180,16 @@ def test_merged_decode_attention_int8_scales():
     rng = np.random.default_rng(6)
     ck8 = rng.integers(-127, 128, (L, B, T, C)).astype(np.int8)
     cv8 = rng.integers(-127, 128, (L, B, T, C)).astype(np.int8)
-    ks = (np.abs(rng.standard_normal((L, B, T, H))) * 0.02 + 1e-3).astype(np.float32)
-    vs = (np.abs(rng.standard_normal((L, B, T, H))) * 0.02 + 1e-3).astype(np.float32)
+    # scales travel as T-minor (L, B, H, T) slabs (models/gpt2.init_kv_cache)
+    ks = (np.abs(rng.standard_normal((L, B, H, T))) * 0.02 + 1e-3).astype(np.float32)
+    vs = (np.abs(rng.standard_normal((L, B, H, T))) * 0.02 + 1e-3).astype(np.float32)
     q = rng.standard_normal((B, C)).astype(np.float32)
 
     # explicit dequant -> float cache, no scales
-    ckf = (ck8.reshape(L, B, T, H, DH) * ks[..., None]).reshape(L, B, T, C)
-    cvf = (cv8.reshape(L, B, T, H, DH) * vs[..., None]).reshape(L, B, T, C)
+    ks_bth = ks.transpose(0, 1, 3, 2)                    # (L, B, T, H)
+    vs_bth = vs.transpose(0, 1, 3, 2)
+    ckf = (ck8.reshape(L, B, T, H, DH) * ks_bth[..., None]).reshape(L, B, T, C)
+    cvf = (cv8.reshape(L, B, T, H, DH) * vs_bth[..., None]).reshape(L, B, T, C)
 
     for li, pos in [(0, 30), (1, 400)]:
         got = chunked_decode_attention_merged(

@@ -57,7 +57,7 @@ def test_int8_cache_structure_and_dtypes():
     cache = init_kv_cache(cfg, 4, 512, dtype=jnp.int8)
     assert cache["k"].dtype == jnp.int8 and cache["v"].dtype == jnp.int8
     assert cache["k"].shape == (3, 4, 512, 64)      # merged (L, B, T, C)
-    assert cache["k_scale"].shape == (3, 4, 512, 2)  # (L, B, T, H)
+    assert cache["k_scale"].shape == (3, 4, 2, 512)  # (L, B, H, T) T-minor
     assert cache["k_scale"].dtype == jnp.float32
     # bf16 cache keeps the two-buffer layout (no scale overhead)
     assert set(init_kv_cache(cfg, 4, 512).keys()) == {"k", "v"}

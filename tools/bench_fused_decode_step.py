@@ -79,9 +79,9 @@ def main():
                     v=jax.lax.dynamic_update_slice(cache["v"], vq[:, :, None, :],
                                                    (0, 0, pos, 0)),
                     k_scale=jax.lax.dynamic_update_slice(
-                        cache["k_scale"], ks[:, :, None, :], (0, 0, pos, 0)),
+                        cache["k_scale"], ks[..., None], (0, 0, 0, pos)),
                     v_scale=jax.lax.dynamic_update_slice(
-                        cache["v_scale"], vs[:, :, None, :], (0, 0, pos, 0)))
+                        cache["v_scale"], vs[..., None], (0, 0, 0, pos)))
             else:
                 cache = dict(
                     k=jax.lax.dynamic_update_slice(

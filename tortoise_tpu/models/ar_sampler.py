@@ -50,10 +50,10 @@ class SamplerSettings:
     # for the CLVP winners anyway) — identical token stream, leaner step
     emit_latents: bool = True
     # static: run the 30-layer transformer step as ONE fused Pallas kernel
-    # (ops/decode_step_pallas) instead of the XLA layer scan. bf16 B-major
-    # cache only; measured win on v5e (docs/ROOFLINE.md: 6.71->5.77 ms/tok
-    # B=64, 1.58->1.34 B=1). Raw default off; the APIs turn it on for the
-    # eligible path on accelerators.
+    # (ops/decode_step_pallas) instead of the XLA layer scan. B-major cache
+    # (bf16 or int8+scales); measured win on v5e (docs/ROOFLINE.md:
+    # 6.71->5.77 ms/tok B=64, 1.58->1.34 B=1). Raw default off; the APIs
+    # turn it on for the eligible path on TPU.
     fused_step: bool = False
 
 
@@ -105,25 +105,48 @@ def _resolve_stacked(model, variables, settings: SamplerSettings, stacked):
 def _gpt_step(model, variables, settings: SamplerSettings, stacked, emb, cache,
               pos):
     """(B, 1, C) embedding -> (post-ln_f hidden (B, C), updated cache)."""
-    if (settings.fused_step and stacked is not None and "k" in cache
-            and "k_scale" not in cache):
+    if settings.fused_step and stacked is not None and "k" in cache:
         from tortoise_tpu.ops.decode_step_pallas import fused_decode_step
 
         gptp = variables["params"]["gpt"]
+        heads = model.config.gpt_config.n_head
         interpret = jax.local_devices()[0].platform == "cpu"
         # ck=32 measured best on v5e at both operating points (B=64:
         # 5.77 ms/tok vs 6.15 at ck=64; ck=128 exceeds the VMEM budget)
         y, k_rows, v_rows = fused_decode_step(
             stacked, emb[:, 0], cache, pos,
-            heads=model.config.gpt_config.n_head,
-            ck=32, interpret=interpret)
+            heads=heads, ck=32, interpret=interpret)
         cache = dict(cache)
-        cache["k"] = jax.lax.dynamic_update_slice(
-            cache["k"], k_rows[:, :, None, :].astype(cache["k"].dtype),
-            (0, 0, pos, 0))
-        cache["v"] = jax.lax.dynamic_update_slice(
-            cache["v"], v_rows[:, :, None, :].astype(cache["v"].dtype),
-            (0, 0, pos, 0))
+        if "k_scale" in cache:
+            # int8 cache: quantize the new rows with the XLA path's exact
+            # formula (per-(layer, batch, head) symmetric, gpt2.py quant())
+            # and write T-minor (L, B, H, T) scale columns
+            lcount, bsz, c = k_rows.shape
+            dh = c // heads
+
+            def qrow(rows):
+                r = rows.reshape(lcount, bsz, heads, dh).astype(jnp.float32)
+                s = jnp.maximum(jnp.abs(r).max(-1) / 127.0, 1e-8)
+                w = jnp.round(r / s[..., None]).astype(jnp.int8)
+                return w.reshape(lcount, bsz, c), s
+
+            kq, ks = qrow(k_rows)
+            vq, vs = qrow(v_rows)
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], kq[:, :, None, :], (0, 0, pos, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], vq[:, :, None, :], (0, 0, pos, 0))
+            cache["k_scale"] = jax.lax.dynamic_update_slice(
+                cache["k_scale"], ks[..., None], (0, 0, 0, pos))
+            cache["v_scale"] = jax.lax.dynamic_update_slice(
+                cache["v_scale"], vs[..., None], (0, 0, 0, pos))
+        else:
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k_rows[:, :, None, :].astype(cache["k"].dtype),
+                (0, 0, pos, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v_rows[:, :, None, :].astype(cache["v"].dtype),
+                (0, 0, pos, 0))
         lnf = gptp["ln_f"]
         x32 = y.astype(jnp.float32)
         mu = x32.mean(-1, keepdims=True)
@@ -231,6 +254,11 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
                                 or cache_sharding is not None):
         # the fused kernel is a single-device pallas_call; GSPMD cannot
         # partition it over a dp/tp mesh — sharded decode uses the XLA stack
+        settings = dataclasses.replace(settings, fused_step=False)
+    if settings.fused_step and cache_dtype == jnp.int8 and num_samples > 64:
+        # int8 cache pins the kernel's chunk size to 128 (tile-aligned scale
+        # DMA); at B=128 the chunk+weight buffers exceed the ~128 MB VMEM
+        # budget and Mosaic refuses to compile — B=64 is the measured max
         settings = dataclasses.replace(settings, fused_step=False)
     stacked = _resolve_stacked(model, variables, settings, stacked)
     return _decode(model, variables, stacked, prompt, rng, settings,

@@ -142,15 +142,21 @@ class GPT2Attention(nn.Module):
                 k_w, k_s = quant(k)
                 v_w, v_s = quant(v)
                 sdt = cache[f"{kname}_scale"].dtype
+                if tm:       # (L, T, B, H) scales: same axes as the buffers
+                    s_at = at
+                    to_scale_axes = to_cache_axes
+                else:        # (L, B, H, T) scales: T-minor (see init_kv_cache)
+                    s_at = (layer_idx, 0, 0, cache_index)
+                    to_scale_axes = lambda s_: jnp.swapaxes(s_, 1, 2)[None]
                 cache = dict(cache)
                 cache[kname] = jax.lax.dynamic_update_slice(
                     cache[kname], to_cache_axes(k_w), at)
                 cache[vname] = jax.lax.dynamic_update_slice(
                     cache[vname], to_cache_axes(v_w), at)
                 cache[f"{kname}_scale"] = jax.lax.dynamic_update_slice(
-                    cache[f"{kname}_scale"], to_cache_axes(k_s).astype(sdt), at)
+                    cache[f"{kname}_scale"], to_scale_axes(k_s).astype(sdt), s_at)
                 cache[f"{vname}_scale"] = jax.lax.dynamic_update_slice(
-                    cache[f"{vname}_scale"], to_cache_axes(v_s).astype(sdt), at)
+                    cache[f"{vname}_scale"], to_scale_axes(v_s).astype(sdt), s_at)
             else:
                 cache = dict(cache)
                 cache[kname] = jax.lax.dynamic_update_slice(
@@ -185,8 +191,9 @@ class GPT2Attention(nn.Module):
                     if quantized:
                         s = jax.lax.dynamic_index_in_dim(
                             cache[f"{name}_scale"], layer_idx, 0, keepdims=False)
-                        if tm:
-                            s = jnp.swapaxes(s, 0, 1)
+                        # -> (B, T, H): T-major stores (T, B, H), B-major
+                        # stores T-minor (B, H, T)
+                        s = jnp.swapaxes(s, 0, 1) if tm else jnp.swapaxes(s, 1, 2)
                         x_ = x_.astype(jnp.float32) * s[..., None]
                     return x_.transpose(0, 2, 1, 3)            # (B, H, T_max, Dh)
 
@@ -311,11 +318,15 @@ def init_kv_cache(config: GPT2Config, batch: int, max_len: int,
     """
     if t_major:
         shape = (config.n_layer, max_len, batch, config.n_embd)
-        sshape = shape[:-1] + (config.n_head,)
+        sshape = shape[:-1] + (config.n_head,)         # (L, T, B, H)
         keys = ("k_tm", "v_tm")
     else:
         shape = (config.n_layer, batch, max_len, config.n_embd)
-        sshape = shape[:-1] + (config.n_head,)
+        # scales are T-minor (L, B, H, T): the fused decode kernel DMAs a
+        # whole per-layer slab and lane-slices (B, H, ck) chunk windows —
+        # a (L, B, T, H) layout's 16-wide minor dim would need an in-kernel
+        # reshape Mosaic rejects on hardware (ops/decode_step_pallas.py)
+        sshape = (config.n_layer, batch, config.n_head, max_len)
         keys = ("k", "v")
     cache = {keys[0]: jnp.zeros(shape, dtype), keys[1]: jnp.zeros(shape, dtype)}
     if dtype == jnp.int8:

@@ -99,7 +99,8 @@ def chunked_decode_attention_merged(q, ck, cv, layer_idx, cache_index, *,
     """Flash-decode over the merged-channel (L, B, T_max, C) cache.
 
     q: (B, C); ck/cv: (L, B, T_max, C) bf16/f32 or int8; with ``k_scale``/
-    ``v_scale`` ((L, B, T_max, H) f32, int8 cache) chunks are dequantized
+    ``v_scale`` ((L, B, H, T_max) f32 T-minor slabs — the layout the fused
+    decode kernel DMAs, models/gpt2.init_kv_cache) chunks are dequantized
     in-register via scale factoring (see chunked_decode_attention_layered).
     Head blocking never touches memory: QK is one (t, C) @ (C, H)
     block-diagonal matmul per chunk, PV accumulates the full (H, C) product
@@ -132,6 +133,11 @@ def chunked_decode_attention_merged(q, ck, cv, layer_idx, cache_index, *,
             return jax.lax.dynamic_slice(buf, (layer_idx, 0, start, 0),
                                          (1, b, chunk, width))[0]
 
+        def sblk(buf):  # (L, B, H, T) -> (B, t, H) chunk window
+            s = jax.lax.dynamic_slice(buf, (layer_idx, 0, 0, start),
+                                      (1, b, heads, chunk))[0]
+            return jnp.swapaxes(s, 1, 2)
+
         k_blk = blk(ck, c)
         v_blk = blk(cv, c)
         logits = jax.lax.dot_general(
@@ -139,7 +145,7 @@ def chunked_decode_attention_merged(q, ck, cv, layer_idx, cache_index, *,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale        # (B, t, H)
         if k_scale is not None:
-            logits = logits * blk(k_scale, heads)
+            logits = logits * sblk(k_scale)
         pos = start + jnp.arange(chunk)
         logits = jnp.where(pos[None, :, None] < n, logits, NEG_INF)
         m_new = jnp.maximum(m, logits.max(axis=1))             # (B, H)
@@ -147,7 +153,7 @@ def chunked_decode_attention_merged(q, ck, cv, layer_idx, cache_index, *,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + p.sum(axis=1)
         if v_scale is not None:
-            p = p * blk(v_scale, heads)
+            p = p * sblk(v_scale)
         pv = jax.lax.dot_general(
             jnp.swapaxes(p, 1, 2), v_blk.astype(jnp.float32),
             (((2,), (1,)), ((0,), (0,))),

@@ -15,12 +15,12 @@ Design notes (measured on v5e, see docs/ROOFLINE.md):
 * VMEM is ~128 MB with ``CompilerParams(vmem_limit_bytes=...)`` (the 16 MB
   number is only the default scoped limit); per-layer weights double-buffer
   at ~51 MB and cache chunks at <= 34 MB.
-* Per-head (B, ck, H) logits from the merged-channel (B, ck, C) cache
-  layout use block-diagonal mask matmuls (a (C, H) 0/1 operand) — the
+* Per-head (B, H, ck) logits from the merged-channel (B, ck, C) cache
+  layout use block-diagonal mask operands (a (C, H) 0/1 matrix) — the
   segmented dh=64 reduction does not MXU-map directly.
 * Chunk-sized (B, ck, C) transients stay bf16; f32 appears only in MXU
-  accumulators, (B, ck, H) logits, and (B, C) carries — f32 chunk
-  transients register-spill by tens of MB.
+  accumulators, (B, H, ck) logits, and the (B, H, C) acc scratch — f32
+  chunk transients register-spill by tens of MB.
 * The cache is READ-ONLY here. New k/v rows return as (L, B, C) outputs and
   the caller writes them with two whole-stack ``dynamic_update_slice``s
   (the XLA path's 4 per-layer DUS ops cost 33 us/layer-step of pure op
@@ -32,17 +32,20 @@ The decode semantics mirror models/gpt2.py exactly: pre-LN blocks
 (eps 1e-5, f32), fused qkv, flash-decode softmax in f32 over the valid
 prefix, gelu_new MLP, bf16 residual stream.
 
-If the int8 flattened-scale multiply ever needs to avoid the in-kernel
-(B, ck*H) -> (B, ck, H) reshape (Mosaic: "unsupported shape cast"), the
-worked-out alternative is to flip the whole attention inner loop to a
-(B, H, ck) logits orientation: build qbdT (B, H, C) directly by broadcast
-(no transpose), logits = dot(qbdT, k_blk) contracting the LAST dims of
-both (the most standard batched-matmul form), store scales as (L, B, H, T)
-slabs (lane dim = T, DMA-sliceable at ck=128 granularity), apply them
-elementwise in (B, H, ck) with zero relayouts, reduce m/l over lanes, and
-produce p_exp with dot_general(p (B,H,ck), mask (C,H)) contracting H.
-tools/probe_mosaic_ops.py has compile+timing probes for each of these
-primitives — run it before committing to either orientation.
+Attention inner-loop orientation (round 4): logits live as (B, H, ck) —
+qbdT (B, H, C) is built by broadcast (no transpose), logits =
+dot(qbdT, k_blk) contracting the LAST dims of both (the most standard
+batched-matmul form, measured 35 vs 79 us/call against the old (B, ck, H)
+orientation at B=64/ck=128 — tools/probe_mosaic_ops.py), the int8 scales
+are stored as (L, B, H, T) slabs (lane dim = T) whose (B, H, ck) chunk
+windows DMA double-buffered alongside the k/v chunks, applied
+elementwise in (B, H, ck) with zero relayouts, and PV accumulates the full
+(B, H, C) product whose (h, h*dh) block diagonal is extracted ONCE after
+the loop with a mask-weighted reduce. The earlier (B, ck, H) orientation
+needed a (B, ck*H) -> (B, ck, H) scale reshape that Mosaic rejects on
+hardware ("tpu.reshape" INTERNAL error) while interpret mode accepted it —
+which is why this file's exactness tests are backed by
+tools/check_fused_exactness.py runs on the real device.
 """
 from __future__ import annotations
 
@@ -89,10 +92,10 @@ def _kernel(pos_ref,                                  # SMEM (1,)
     lane = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0)
     head = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
     mask32 = (lane // dh == head).astype(jnp.float32)   # (C, H)
-    maskT = jnp.transpose(mask32, (1, 0)).astype(jnp.bfloat16)
+    maskT32 = jnp.transpose(mask32, (1, 0))             # (H, C)
 
     def lane_expand(s32):                             # (B, H) f32 -> (B, C)
-        return jax.lax.dot_general(s32, jnp.transpose(mask32, (1, 0)),
+        return jax.lax.dot_general(s32, maskT32,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
@@ -108,9 +111,10 @@ def _kernel(pos_ref,                                  # SMEM (1,)
     krow_ref[0] = k_cur
     vrow_ref[0] = v_cur
 
-    # block-diagonal q operand for per-head logits from merged channels
+    # block-diagonal q operand, head-major: qbdT[b, h, c] = q[b, c] iff
+    # c // dh == h — feeds the (B, H, ck) logits matmul with no transposes
     qf = q.astype(jnp.float32)
-    qbd = (qf[:, :, None] * mask32[None]).astype(jnp.bfloat16)  # (B, C, H)
+    qbdT = (qf[:, None, :] * maskT32[None]).astype(jnp.bfloat16)  # (B, H, C)
 
     # ---- flash-decode over the valid cache prefix + the current row ------
     # current row first: logits_cur[b,h] = sum_{c in head h} q*k / sqrt(dh)
@@ -120,7 +124,11 @@ def _kernel(pos_ref,                                  # SMEM (1,)
         preferred_element_type=jnp.float32) * (1.0 / np.sqrt(dh))  # (B, H)
     m_s[:, :] = logit_cur
     l_s[:, :] = jnp.ones((b, heads), jnp.float32)
-    acc_s[:, :] = v_cur.astype(jnp.float32)
+    # acc is (B, H, C): every head carries the full channel row; the
+    # (h, h*dh) block diagonal is extracted once after the loop. The
+    # current (unquantized, in-VMEM) row contributes with weight 1.
+    acc_s[:, :, :] = jnp.broadcast_to(
+        v_cur.astype(jnp.float32)[:, None, :], (b, heads, c))
 
     n_chunks = pl.cdiv(pos, ck)                       # prefix rows: [0, pos)
 
@@ -130,23 +138,29 @@ def _kernel(pos_ref,                                  # SMEM (1,)
                               kbuf.at[slot], sem_k.at[slot]).start()
         pltpu.make_async_copy(v_hbm.at[l, :, pl.ds(start, ck), :],
                               vbuf.at[slot], sem_v.at[slot]).start()
+        if quantized:
+            # (B, H, ck) scale windows DMA'd straight from the T-minor
+            # (L, B, H, T) slabs — an in-VMEM lane slice at a *dynamic*
+            # ck-granular offset does not lower (Mosaic rejects the
+            # runtime-offset lane slice; tools/probe_mosaic_ops.py probe 4
+            # only passed because its offset constant-folded)
+            pltpu.make_async_copy(ks_hbm.at[l, :, :, pl.ds(start, ck)],
+                                  ksbuf.at[slot], sem_ks.at[slot]).start()
+            pltpu.make_async_copy(vs_hbm.at[l, :, :, pl.ds(start, ck)],
+                                  vsbuf.at[slot], sem_vs.at[slot]).start()
 
     def wait(slot):
         pltpu.make_async_copy(kbuf.at[slot], kbuf.at[slot], sem_k.at[slot]).wait()
         pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot], sem_v.at[slot]).wait()
+        if quantized:
+            pltpu.make_async_copy(ksbuf.at[slot], ksbuf.at[slot],
+                                  sem_ks.at[slot]).wait()
+            pltpu.make_async_copy(vsbuf.at[slot], vsbuf.at[slot],
+                                  sem_vs.at[slot]).wait()
 
     @pl.when(n_chunks > 0)
     def _():
         dma(0, 0)
-    if quantized:
-        @pl.when(n_chunks > 0)
-        def _():
-            # scales travel FLATTENED as (L, B, T*H): the (L, B, T, H)
-            # form's 16-wide minor dim cannot be DMA-sliced under the
-            # 128-lane tiling; each layer's full slab moves once (~6 MB)
-            # and chunks slice (lane-aligned) + reshape from VMEM
-            pltpu.make_async_copy(ks_hbm.at[l], ksbuf, sem_ks).start()
-            pltpu.make_async_copy(vs_hbm.at[l], vsbuf, sem_vs).start()
 
     def body(ci, _):
         slot = jax.lax.rem(ci, 2)
@@ -156,44 +170,33 @@ def _kernel(pos_ref,                                  # SMEM (1,)
             dma(jax.lax.rem(ci + 1, 2), ci + 1)
 
         wait(slot)
-        if quantized:
-            @pl.when(ci == 0)
-            def _():
-                pltpu.make_async_copy(ksbuf, ksbuf, sem_ks).wait()
-                pltpu.make_async_copy(vsbuf, vsbuf, sem_vs).wait()
-
         k_blk = kbuf[slot].astype(jnp.bfloat16)       # (B, ck, C)
         v_blk = vbuf[slot].astype(jnp.bfloat16)
         start = ci * ck
         logits = jax.lax.dot_general(
-            k_blk, qbd, (((2,), (1,)), ((0,), (0,))),
+            qbdT, k_blk, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * (1.0 / np.sqrt(dh))
-        if quantized:
-            ks_blk = ksbuf[:, pl.ds(start * heads, ck * heads)]
-            logits = logits * ks_blk.reshape(b, ck, heads)
-        posv = ci * ck + jax.lax.broadcasted_iota(jnp.int32, (b, ck, heads), 1)
+        if quantized:                                 # (B, H, ck) windows
+            logits = logits * ksbuf[slot]
+        posv = start + jax.lax.broadcasted_iota(jnp.int32, (b, heads, ck), 2)
         logits = jnp.where(posv < pos, logits, NEG)
-        m_new = jnp.maximum(m_s[:, :], logits.max(axis=1))
-        p = jnp.exp(logits - m_new[:, None, :])       # (B, ck, H) f32
+        m_new = jnp.maximum(m_s[:, :], logits.max(axis=2))
+        p = jnp.exp(logits - m_new[:, :, None])       # (B, H, ck) f32
         alpha = jnp.exp(m_s[:, :] - m_new)
-        if quantized:
-            vs_blk = vsbuf[:, pl.ds(start * heads, ck * heads)]
-            p_v = p * vs_blk.reshape(b, ck, heads)
-        else:
-            p_v = p
-        l_s[:, :] = l_s[:, :] * alpha + p.sum(axis=1)
+        l_s[:, :] = l_s[:, :] * alpha + p.sum(axis=2)
         m_s[:, :] = m_new
-        p_exp = jax.lax.dot_general(
-            p_v.astype(jnp.bfloat16).reshape(b * ck, heads), maskT,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(
-                jnp.bfloat16).reshape(b, ck, c)
-        pv = jnp.sum(p_exp * v_blk, axis=1, dtype=jnp.float32)
-        acc_s[:, :] = acc_s[:, :] * lane_expand(alpha) + pv
+        if quantized:
+            p = p * vsbuf[slot]
+        pv = jax.lax.dot_general(                     # (B, H, C) f32
+            p.astype(jnp.bfloat16), v_blk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        acc_s[:, :, :] = acc_s[:, :, :] * alpha[:, :, None] + pv
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
-    attn = (acc_s[:, :] / lane_expand(l_s[:, :])).astype(jnp.bfloat16)
+    # block-diagonal extraction: out[b, c] = acc[b, c//dh, c] / l[b, c//dh]
+    num = jnp.sum(acc_s[:, :, :] * maskT32[None], axis=1)         # (B, C)
+    attn = (num / lane_expand(l_s[:, :])).astype(jnp.bfloat16)
 
     # ---- attn proj + residual --------------------------------------------
     proj = jax.lax.dot_general(attn, wproj_ref[0], (((1,), (0,)), ((), ())),
@@ -244,23 +247,27 @@ def fused_decode_step(stacked: dict, x, cache: dict, cache_index, *,
     """One full decode step over all layers.
 
     x: (B, C) bf16 token embedding (post decode_embed). cache: the
-    models/gpt2.init_kv_cache dict, B-major merged layout (READ-ONLY).
+    models/gpt2.init_kv_cache dict, B-major merged layout (READ-ONLY) —
+    bf16 buffers, or int8 buffers plus (L, B, H, T) f32 scale slabs.
     Returns (hidden (B, C) bf16 pre-ln_f, k_rows (L, B, C) bf16,
     v_rows (L, B, C) bf16) — the caller quantizes (if int8) and writes the
-    rows at ``cache_index`` with two stack-wide dynamic_update_slices.
+    rows at ``cache_index`` with stack-wide dynamic_update_slices.
     """
     ck_cache, cv_cache = cache["k"], cache["v"]
     quantized = "k_scale" in cache
     lcount, b, t_max, c = ck_cache.shape
-    assert t_max % ck == 0, (t_max, ck)
     if quantized:
-        # flatten (L, B, T, H) -> (L, B, T*H): the kernel DMAs whole-layer
-        # scale slabs and lane-slices chunks (see kernel comment)
-        ks = cache["k_scale"].reshape(lcount, b, t_max * heads)
-        vs = cache["v_scale"].reshape(lcount, b, t_max * heads)
+        # (L, B, H, T) scale slabs are (8, 128)-tiled in HBM, so the chunk
+        # window DMA must be 128-aligned on the lane (T) dim — the chunk
+        # size is pinned to 128 for the int8 cache (a 32-wide slice fails
+        # to lower: "tpu.memref_slice" on the tiled hbm memref)
+        ck = 128
+        ks, vs = cache["k_scale"], cache["v_scale"]
+        assert ks.shape == (lcount, b, heads, t_max), ks.shape
     else:  # placeholder operands keep the signature static
-        ks = jnp.zeros((lcount, b, 8 * heads), jnp.float32)
+        ks = jnp.zeros((lcount, b, heads, 8), jnp.float32)
         vs = ks
+    assert t_max % ck == 0, (t_max, ck)
 
     grid = (lcount,)
     w = lambda blockshape: pl.BlockSpec(blockshape,
@@ -296,17 +303,17 @@ def fused_decode_step(stacked: dict, x, cache: dict, cache_index, *,
             pltpu.VMEM((b, c), jnp.bfloat16),                # x carry
             pltpu.VMEM((2, b, ck, c), ck_cache.dtype),       # k chunks
             pltpu.VMEM((2, b, ck, c), cv_cache.dtype),       # v chunks
-            pltpu.VMEM((b, (t_max if quantized else 8) * heads),
-                       jnp.float32),                         # k scales (layer)
-            pltpu.VMEM((b, (t_max if quantized else 8) * heads),
-                       jnp.float32),                         # v scales (layer)
+            pltpu.VMEM((2, b, heads, ck if quantized else 8),
+                       jnp.float32),                         # k scale windows
+            pltpu.VMEM((2, b, heads, ck if quantized else 8),
+                       jnp.float32),                         # v scale windows
             pltpu.VMEM((b, heads), jnp.float32),             # m
             pltpu.VMEM((b, heads), jnp.float32),             # l
-            pltpu.VMEM((b, c), jnp.float32),                 # acc
+            pltpu.VMEM((b, heads, c), jnp.float32),          # acc (head-major)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=124 * 1024 * 1024),
