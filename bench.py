@@ -44,7 +44,16 @@ PARAGRAPH = (
     "model then refines those tokens into a detailed mel spectrogram, and a "
     "neural vocoder turns the spectrogram into a waveform. Each stage can be "
     "batched and compiled ahead of time, which is what makes the whole "
-    "pipeline such a natural fit for dense accelerator hardware.")
+    "pipeline such a natural fit for dense accelerator hardware. "
+    "Reading a full chapter stresses the serving path differently than a "
+    "single sentence ever could, because clip lengths vary from one "
+    "sentence to the next and every new length risks a fresh compilation. "
+    "Bucketing the decoder shapes keeps those compilations out of the "
+    "steady state, so the reader simply hears one sentence after another. "
+    "The end of the paragraph arrives with the same cadence as the start, "
+    "which is exactly what a listener expects from a narrated book. "
+    "Measured over several minutes of narration, the steady-state real "
+    "time factor is the honest number, and it is the one reported here.")
 
 
 def _measure(fn, runs):
@@ -78,13 +87,20 @@ def _long_form(qtts, args):
 
     # steady-state serving: different seeds produce different clip lengths,
     # and a first-seen length bucket costs a multi-second XLA compile — warm
-    # the EXACT timed seeds once so no compile lands inside a timed run
-    n_runs = max(2, args.ladder_runs - 1)
+    # the EXACT timed seeds once so no compile lands inside a timed run.
+    # >= 3 timed runs over >= 6 chunks (~2 min audio) with min/median/max:
+    # the round-3 row rode a 2.6% margin on n=2 (VERDICT r3 weak #3).
+    n_runs = max(3, args.ladder_runs)
     for i in range(n_runs + 1):
         run(i)
-    rtf, p50, audio_s = _measure(run, n_runs)
-    return {"rtf": round(rtf, 4), "p50_wall_s": round(p50, 3),
-            "audio_s_per_run": round(audio_s, 2), "chunks": len(chunks),
+    results = [run(i + 1) for i in range(n_runs)]
+    rtfs = sorted(w / a for w, a in results)
+    walls = sorted(w for w, _ in results)
+    rtf = rtfs[len(rtfs) // 2]
+    return {"rtf": round(rtf, 4), "rtf_min": round(rtfs[0], 4),
+            "rtf_max": round(rtfs[-1], 4), "runs": n_runs,
+            "p50_wall_s": round(walls[len(walls) // 2], 3),
+            "audio_s_per_run": round(results[0][1], 2), "chunks": len(chunks),
             "preset": "high_quality", "kv_cache": "int8",
             "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / rtf, 2)}
 
@@ -205,6 +221,31 @@ def main():
     }
 
     if not args.smoke and not args.fast_only:
+        # fused-kernel A/B rows (VERDICT r3 task 1: never ship a default
+        # without a composed A/B in the artifact). The headline above IS
+        # B=1 fused-ON (the default); this adds B=1 OFF, and B=64 ON to
+        # complement batched_serving's default-OFF row below.
+        try:
+            tts_off = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
+                                       gpt_fused_step=False)
+
+            def run_off(seed):
+                t0 = time.perf_counter()
+                wav = tts_off.tts(SENTENCE, use_deterministic_seed=seed,
+                                  max_mel_tokens=tokens, verbose=False)
+                return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+
+            ab_rtf, ab_p50, _ = _measure(run_off, 3)
+            detail["fused_ab"] = {
+                "fast_b1": {"on": {"rtf": round(rtf, 4),
+                                   "p50_latency_s": round(p50_wall, 3),
+                                   "default": True},
+                            "off": {"rtf": round(ab_rtf, 4),
+                                    "p50_latency_s": round(ab_p50, 3)}}}
+            del tts_off
+        except Exception as e:
+            detail["fused_ab_error"] = f"{type(e).__name__}: {e}"
+
         # quality-preset ladder (reference preset costs api.py:320-331):
         # tracked in the artifact so the quality-path claims are measured,
         # not prose (VERDICT r1 missing #6)
@@ -251,6 +292,25 @@ def main():
             del qtts8
         except Exception as e:
             detail["quality_int8kv_error"] = f"{type(e).__name__}: {e}"
+
+        try:
+            # BASELINE config 2 north star: quality `fast` preset (96 AR
+            # candidates / 80 cond-free diffusion steps, reference
+            # api.py:324-329) under 2 s p50. One 96-candidate batch with
+            # int8 KV cache + int8 GPT weights — the production quantized
+            # serving config (VERDICT r3 task 3).
+            qtts88 = TextToSpeech(half=True, kv_cache_dtype="int8",
+                                  gpt_weights="int8")
+            q_rtf, q_p50, q_audio = _measure(
+                quality_runner(qtts88, "fast", args.tokens), args.ladder_runs)
+            detail.setdefault("quality_ladder", {})["fast_int8"] = {
+                "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
+                "audio_s_per_run": round(q_audio, 2),
+                "kv_cache": "int8", "gpt_weights": "int8",
+                "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
+            del qtts88
+        except Exception as e:
+            detail["fast_int8_preset_error"] = f"{type(e).__name__}: {e}"
 
         # fast path with weight-only int8 GPT kernels: the B=1 decode is
         # weight-bandwidth-bound, so this is the fast path's biggest
@@ -306,6 +366,25 @@ def main():
                     detail["batched_serving_8"] = row
                 else:
                     detail["batched_serving"] = row  # the BASELINE-spec row
+                    # fused ON at B=64 (the A/B counterpart — tts_batch
+                    # defaults OFF per the composed measurement)
+                    def serve_on(seed):
+                        t0 = time.perf_counter()
+                        wavs = tts.tts_batch(serve_texts,
+                                             use_deterministic_seed=seed,
+                                             max_mel_tokens=tokens,
+                                             gpt_fused_step=True,
+                                             verbose=False)
+                        wall = time.perf_counter() - t0
+                        return wall, sum(w.shape[-1] for w in wavs) / 24000.0
+
+                    o_rtf, o_p50, _ = _measure(serve_on, 2)
+                    detail.setdefault("fused_ab", {})["batch64"] = {
+                        "off": {"p50_wall_s": round(s_p50, 3),
+                                "throughput_audio_s_per_s": round(1.0 / s_rtf, 2),
+                                "default": True},
+                        "on": {"p50_wall_s": round(o_p50, 3),
+                               "throughput_audio_s_per_s": round(1.0 / o_rtf, 2)}}
             except Exception as e:  # keep the headline metric even if this fails
                 detail[f"batched_serving_{n_serve}_error"] = f"{type(e).__name__}: {e}"
 

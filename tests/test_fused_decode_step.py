@@ -112,3 +112,45 @@ def test_sampler_fused_step_greedy_matches_xla():
                                  fused_step=True))
     agree = (np.asarray(codes_ref) == np.asarray(codes_fused)).mean()
     assert agree >= 0.9, f"greedy agreement {agree}"
+
+
+def test_fused_step_int8_weights_matches_quantdense():
+    """int8-WEIGHT variant: the kernel streams the QuantDense int8 kernels
+    directly (half the weight bytes) and applies qscale to the f32
+    accumulator + f32 bias, matching gpt2.QuantDense exactly."""
+    cfg = GPT2Config(n_layer=3, n_embd=256, n_head=4, quant_weights=True)
+    model = GPT2Stack(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    emb = jax.random.normal(rng, (B, 1, cfg.n_embd), jnp.bfloat16)
+    variables = model.init(rng, emb)
+    # keep int8 kernels/f32 qscales; cast only the float leaves the XLA
+    # path would also run in bf16
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32
+        and a.ndim <= 1 else a, variables)
+    cache = init_kv_cache(cfg, B, T_MAX, dtype=jnp.bfloat16)
+    hist = jax.random.normal(jax.random.PRNGKey(1), (B, POS, cfg.n_embd),
+                             jnp.bfloat16)
+    _, cache = model.apply(variables, hist, cache=cache, cache_index=0)
+    hidden_ref, cache_ref = model.apply(variables, emb, cache=cache,
+                                        cache_index=POS)
+
+    stacked = prepare_stacked_params(variables["params"])
+    assert stacked["wqkv"].dtype == jnp.int8 and "sqkv" in stacked
+    y, k_rows, v_rows = fused_decode_step(stacked, emb[:, 0], cache, POS,
+                                          heads=cfg.n_head, ck=32,
+                                          interpret=True)
+    lnf = variables["params"]["ln_f"]
+    x32 = y.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    hidden = ((x32 - mu) * jax.lax.rsqrt(var + cfg.ln_eps)
+              * lnf["scale"].astype(jnp.float32)
+              + lnf["bias"].astype(jnp.float32))
+    ref = np.asarray(hidden_ref[:, 0], np.float32)
+    got = np.asarray(hidden, np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.03 * np.abs(ref).max())
+    for rows, name in ((k_rows, "k"), (v_rows, "v")):
+        written = np.asarray(cache_ref[name][:, :, POS, :], np.float32)
+        np.testing.assert_allclose(np.asarray(rows, np.float32), written,
+                                   atol=2e-2 * max(np.abs(written).max(), 1))

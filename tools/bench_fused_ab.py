@@ -7,7 +7,9 @@ the operating points that decide the default:
 
 * fast path B=1 bf16 (the BENCH headline: TextToSpeechFast.tts),
 * fast path batched serving B=64 (tts_batch),
-* quality ``standard`` preset (the 256-candidate composed run).
+* quality ``standard`` preset (the 256-candidate composed run),
+* quality ``standard`` with the int8 KV cache (the best serving config —
+  round 4's int8-capable kernel finally covers it; VERDICT r3 missing #3).
 
 Prints one JSON object; commit the output into docs/ROOFLINE.md and use it
 to set the shipped default (VERDICT r3 next-round task 1: a kernel that
@@ -62,57 +64,72 @@ def main():
 
     out = {"device": str(jax.devices()[0]), "ar_tokens": args.tokens}
 
-    for fused in (False, True):
-        key = "fused_on" if fused else "fused_off"
-        tts = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
-                               gpt_fused_step=fused)
-        assert tts.gpt_fused_step == fused, (tts.gpt_fused_step, fused)
+    for gw in ("bf16", "int8"):
+        b1_row = "fast_b1" if gw == "bf16" else "fast_b1_int8w"
+        for fused in (False, True):
+            key = "fused_on" if fused else "fused_off"
+            tts = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
+                                   gpt_weights=gw, gpt_fused_step=fused)
+            assert tts.gpt_fused_step == fused, (tts.gpt_fused_step, fused)
 
-        def run(seed):
-            t0 = time.perf_counter()
-            wav = tts.tts(SENTENCE, use_deterministic_seed=seed,
-                          max_mel_tokens=args.tokens, verbose=False)
-            return time.perf_counter() - t0, wav.shape[-1] / 24000.0
-
-        out.setdefault("fast_b1", {})[key] = _measure(run, args.runs)
-        print(f"fast_b1 {key}: {out['fast_b1'][key]}", file=sys.stderr)
-
-        if not args.skip_batch:
-            texts = [f"{SENTENCE} Utterance number {i}."
-                     for i in range(args.batch)]
-
-            def serve(seed):
+            def run(seed):
                 t0 = time.perf_counter()
-                wavs = tts.tts_batch(texts, use_deterministic_seed=seed,
-                                     max_mel_tokens=args.tokens, verbose=False)
-                return (time.perf_counter() - t0,
-                        sum(w.shape[-1] for w in wavs) / 24000.0)
+                wav = tts.tts(SENTENCE, use_deterministic_seed=seed,
+                              max_mel_tokens=args.tokens, verbose=False)
+                return time.perf_counter() - t0, wav.shape[-1] / 24000.0
 
-            row = _measure(serve, max(2, args.runs - 2))
-            row["throughput_audio_s_per_s"] = round(1.0 / row["rtf"], 2)
-            out.setdefault(f"fast_batch{args.batch}", {})[key] = row
-            print(f"fast_batch{args.batch} {key}: {row}", file=sys.stderr)
-        del tts
+            out.setdefault(b1_row, {})[key] = _measure(run, args.runs)
+            print(f"{b1_row} {key}: {out[b1_row][key]}", file=sys.stderr)
+
+            if not args.skip_batch and gw == "bf16":
+                texts = [f"{SENTENCE} Utterance number {i}."
+                         for i in range(args.batch)]
+
+                def serve(seed):
+                    t0 = time.perf_counter()
+                    wavs = tts.tts_batch(texts, use_deterministic_seed=seed,
+                                         max_mel_tokens=args.tokens,
+                                         verbose=False)
+                    return (time.perf_counter() - t0,
+                            sum(w.shape[-1] for w in wavs) / 24000.0)
+
+                row = _measure(serve, max(2, args.runs - 2))
+                row["throughput_audio_s_per_s"] = round(1.0 / row["rtf"], 2)
+                out.setdefault(f"fast_batch{args.batch}", {})[key] = row
+                print(f"fast_batch{args.batch} {key}: {row}", file=sys.stderr)
+            del tts
 
     if not args.skip_quality:
         from tortoise_tpu.api import TextToSpeech
 
-        for fused in (False, True):
-            key = "fused_on" if fused else "fused_off"
-            qtts = TextToSpeech(half=True, gpt_fused_step=fused)
+        # (row, kv dtype, AR batch override, fused settings). int8 at the
+        # default B=128 exceeds the kernel's VMEM budget (sampler falls back
+        # silently), so the real fused-vs-XLA comparison pins B=64; the
+        # B=128 XLA row decides whether 2x128-XLA or 4x64-fused wins.
+        plans = [
+            ("quality_standard", "bf16", None, (False, True)),
+            ("quality_standard_int8kv", "int8", 64, (False, True)),
+            ("quality_standard_int8kv_b128", "int8", None, (False,)),
+        ]
+        for row_name, kv_dtype, ar_batch, fused_opts in plans:
+            for fused in fused_opts:
+                key = "fused_on" if fused else "fused_off"
+                qtts = TextToSpeech(half=True, kv_cache_dtype=kv_dtype,
+                                    autoregressive_batch_size=ar_batch,
+                                    gpt_fused_step=fused)
 
-            def qrun(seed):
-                t0 = time.perf_counter()
-                wav = qtts.tts_with_preset(
-                    SENTENCE, preset="standard", use_deterministic_seed=seed,
-                    max_mel_tokens=args.tokens, verbose=False)
-                return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+                def qrun(seed):
+                    t0 = time.perf_counter()
+                    wav = qtts.tts_with_preset(
+                        SENTENCE, preset="standard", use_deterministic_seed=seed,
+                        max_mel_tokens=args.tokens, verbose=False)
+                    return time.perf_counter() - t0, wav.shape[-1] / 24000.0
 
-            out.setdefault("quality_standard", {})[key] = _measure(
-                qrun, args.quality_runs)
-            print(f"quality_standard {key}: {out['quality_standard'][key]}",
-                  file=sys.stderr)
-            del qtts
+                out.setdefault(row_name, {})[key] = _measure(
+                    qrun, args.quality_runs)
+                print(f"{row_name} {key}: {out[row_name][key]}",
+                      file=sys.stderr)
+                del qtts
 
     print(json.dumps(out))
 

@@ -10,7 +10,11 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -44,18 +48,24 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--ck", type=int, default=32)
     ap.add_argument("--cache", default="int8", choices=["bf16", "int8"])
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                    help="int8 = QuantDense weight-only quant (half the "
+                         "per-step weight stream)")
     args = ap.parse_args()
     b, n = args.batch, args.steps
     cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[args.cache]
 
-    cfg = GPT2Config()
+    cfg = GPT2Config(quant_weights=args.weights == "int8")
     model = GPT2Stack(cfg, dtype=jnp.bfloat16)
     emb0 = jnp.zeros((b, 1, cfg.n_embd), jnp.bfloat16)
     params = weights_lib.host_init(
         lambda: model.init(jax.random.PRNGKey(0), emb0))
-    params = jax.device_put(jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        params))
+    # cast float leaves to bf16, but keep QuantDense qscale f32 (it applies
+    # to the f32 accumulator; timing is unaffected either way)
+    params = jax.device_put(jax.tree_util.tree_map_with_path(
+        lambda path, a: a if a.dtype != jnp.float32
+        or jax.tree_util.keystr(path).endswith("['qscale']")
+        else a.astype(jnp.bfloat16), params))
     cache = init_kv_cache(cfg, b, args.t, dtype=cache_dtype)
     # pretend `fill` positions are already decoded
     cache = jax.tree_util.tree_map(lambda a: a, cache)

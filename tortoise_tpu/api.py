@@ -143,7 +143,7 @@ class TextToSpeech:
         self.kv_cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
                                "f32": jnp.float32}[kv_cache_dtype]
         # whole-step fused Pallas decode kernel (ops/decode_step_pallas.py);
-        # bf16 or int8 KV cache, full-precision weights, unsharded decode.
+        # bf16 or int8 KV cache, bf16 or int8 GPT weights, unsharded decode.
         # Default ON on TPU only, where measured to win (docs/ROOFLINE.md:
         # standard preset p50 6.93->6.58 s on v5e) — a Mosaic kernel would
         # crash other accelerator backends; CPU would run it interpreted.
@@ -152,8 +152,7 @@ class TextToSpeech:
         if gpt_fused_step is None:
             gpt_fused_step = (jax.devices()[0].platform == "tpu"
                               and mesh is None and half)
-        self.gpt_fused_step = (gpt_fused_step and gpt_weights != "int8"
-                               and mesh is None)
+        self.gpt_fused_step = gpt_fused_step and mesh is None
         # Pallas flash attention for the diffusion stack (ops/attn_pallas.py):
         # default on accelerators, off on CPU (there it would run interpreted)
         self.flash_attn = (flash_attn if flash_attn is not None

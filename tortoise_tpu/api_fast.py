@@ -90,14 +90,15 @@ class TextToSpeechFast:
                  gpt_weights="bf16", gpt_fused_step: bool | None = None):
         self.dtype = dtype
         # whole-step fused Pallas decode kernel (ops/decode_step_pallas.py);
-        # bf16 weights only. Default ON on TPU only (a Mosaic kernel would
-        # crash other accelerator backends; CPU would run it interpreted) —
-        # measured composed win with load-time weight stacking, see
-        # docs/ROOFLINE.md. Sharded tts_batch falls back in the sampler.
+        # bf16 or int8 GPT weights (the int8 stack streams half the bytes).
+        # Default ON on TPU only (a Mosaic kernel would crash other
+        # accelerator backends; CPU would run it interpreted) — measured
+        # composed win with load-time weight stacking, see docs/ROOFLINE.md.
+        # Sharded tts_batch falls back in the sampler.
         if gpt_fused_step is None:
             gpt_fused_step = (jax.devices()[0].platform == "tpu"
                               and dtype == jnp.bfloat16)
-        self.gpt_fused_step = gpt_fused_step and gpt_weights != "int8"
+        self.gpt_fused_step = gpt_fused_step
         self.latent_bucket = latent_bucket
         # Pad text to bucket multiples with the stop token so each sentence
         # length reuses one compiled prefill/decode program. Stop-token text

@@ -92,12 +92,10 @@ def stack_fused_params(variables: dict):
 
 
 def _resolve_stacked(model, variables, settings: SamplerSettings, stacked):
-    """Eligibility gate + one-time stacking for the fused decode kernel."""
+    """Eligibility gate + one-time stacking for the fused decode kernel.
+    Handles both full-precision (bf16 stack) and QuantDense trees (int8
+    kernels + qscale rows, half the per-step weight stream)."""
     if not settings.fused_step:
-        return None
-    if model.config.gpt_config.quant_weights:
-        # prepare_stacked_params would cast the raw int8 kernels to bf16
-        # WITHOUT applying qscale — silent garbage; use the XLA stack
         return None
     return stacked if stacked is not None else stack_fused_params(variables)
 

@@ -73,11 +73,12 @@ def _gelu_new(x):
 def _kernel(pos_ref,                                  # SMEM (1,)
             x_ref, ln1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             ln2_ref, wfc_ref, bfc_ref, wfc2_ref, bfc2_ref,
+            sqkv_ref, sproj_ref, sfc_ref, sfc2_ref,   # int8-weight qscales
             k_hbm, v_hbm, ks_hbm, vs_hbm,             # ANY (HBM)
             y_ref, krow_ref, vrow_ref,                # outputs
             x_s, kbuf, vbuf, ksbuf, vsbuf, m_s, l_s, acc_s,
             sem_k, sem_v, sem_ks, sem_vs,
-            *, heads: int, ck: int, quantized: bool):
+            *, heads: int, ck: int, quantized: bool, quant_w: bool):
     l = pl.program_id(0)
     n_layers = pl.num_programs(0)
     b, c = x_ref.shape
@@ -99,12 +100,22 @@ def _kernel(pos_ref,                                  # SMEM (1,)
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
+    def dense(h_, w_ref, b_ref, s_ref):
+        """Block dense matching the XLA layer exactly: nn.Dense adds the
+        bias in bf16; QuantDense (int8 weights) applies the per-output
+        qscale to the f32 accumulator, adds the bias in f32, then casts."""
+        y = jax.lax.dot_general(h_, w_ref[0].astype(jnp.bfloat16),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if quant_w:
+            return (y * s_ref[0, 0]
+                    + b_ref[0, 0].astype(jnp.float32)).astype(jnp.bfloat16)
+        return y.astype(jnp.bfloat16) + b_ref[0, 0]
+
     # ---- ln_1 + fused qkv ------------------------------------------------
     h = _layer_norm(x.astype(jnp.float32), ln1_ref[0, 0].astype(jnp.float32),
                     ln1_ref[0, 1].astype(jnp.float32)).astype(jnp.bfloat16)
-    qkv = jax.lax.dot_general(h, wqkv_ref[0], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    qkv = qkv.astype(jnp.bfloat16) + bqkv_ref[0, 0]   # flax adds bias in bf16
+    qkv = dense(h, wqkv_ref, bqkv_ref, sqkv_ref)
     q = qkv[:, :c]
     k_cur = qkv[:, c:2 * c]
     v_cur = qkv[:, 2 * c:]
@@ -199,19 +210,13 @@ def _kernel(pos_ref,                                  # SMEM (1,)
     attn = (num / lane_expand(l_s[:, :])).astype(jnp.bfloat16)
 
     # ---- attn proj + residual --------------------------------------------
-    proj = jax.lax.dot_general(attn, wproj_ref[0], (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    x = x + (proj.astype(jnp.bfloat16) + bproj_ref[0, 0])
+    x = x + dense(attn, wproj_ref, bproj_ref, sproj_ref)
 
     # ---- ln_2 + MLP + residual -------------------------------------------
     h2 = _layer_norm(x.astype(jnp.float32), ln2_ref[0, 0].astype(jnp.float32),
                      ln2_ref[0, 1].astype(jnp.float32)).astype(jnp.bfloat16)
-    f = jax.lax.dot_general(h2, wfc_ref[0], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    f = _gelu_new(f.astype(jnp.bfloat16) + bfc_ref[0, 0])
-    f2 = jax.lax.dot_general(f, wfc2_ref[0], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    x = x + (f2.astype(jnp.bfloat16) + bfc2_ref[0, 0])
+    f = _gelu_new(dense(h2, wfc_ref, bfc_ref, sfc_ref))
+    x = x + dense(f, wfc2_ref, bfc2_ref, sfc2_ref)
 
     x_s[:, :] = x
     y_ref[:, :] = x                                   # final layer's persists
@@ -219,26 +224,44 @@ def _kernel(pos_ref,                                  # SMEM (1,)
 
 def prepare_stacked_params(gpt_params: dict) -> dict:
     """Scan-stacked gpt params ({'h_scan': {'block': ...}}) -> the kernel's
-    input arrays, bf16. Call once at load; pass the result to every step."""
+    input arrays. Call once at load; pass the result to every step.
+
+    Full-precision trees stack bf16 kernels; QuantDense trees (int8 weights,
+    models/gpt2.py) keep the int8 kernels — HALVING the per-step weight
+    stream, the dominant cost of small-batch decode — and add per-output
+    "sqkv"/"sproj"/"sfc"/"sfc2" qscale rows applied to the f32 accumulator
+    in-kernel, plus f32 biases (QuantDense adds its bias in f32)."""
     blk = gpt_params["h_scan"]["block"]
+    quant = "qscale" in blk["attn"]["c_attn"]
     f = lambda a: jnp.asarray(a, jnp.bfloat16)
 
     def ln(p):  # (L, 2, C): [scale, bias]
         return jnp.stack([f(p["scale"]), f(p["bias"])], axis=1)
 
-    def bias(a):  # (L, X) -> (L, 1, X): trailing block dims must equal the
-        return f(a)[:, None, :]  # full array dims (Pallas tiling rule)
+    def kern(p):
+        a = jnp.asarray(p["kernel"])
+        return a if a.dtype == jnp.int8 else f(a)
 
-    return {
+    def bias(p):  # (L, X) -> (L, 1, X): trailing block dims must equal the
+        a = jnp.asarray(p["bias"])  # full array dims (Pallas tiling rule)
+        return (a.astype(jnp.float32) if quant else f(a))[:, None, :]
+
+    out = {
         "ln1": ln(blk["ln_1"]), "ln2": ln(blk["ln_2"]),
-        "wqkv": f(blk["attn"]["c_attn"]["kernel"]),
-        "bqkv": bias(blk["attn"]["c_attn"]["bias"]),
-        "wproj": f(blk["attn"]["c_proj"]["kernel"]),
-        "bproj": bias(blk["attn"]["c_proj"]["bias"]),
-        "wfc": f(blk["mlp_fc"]["kernel"]), "bfc": bias(blk["mlp_fc"]["bias"]),
-        "wfc2": f(blk["mlp_proj"]["kernel"]),
-        "bfc2": bias(blk["mlp_proj"]["bias"]),
+        "wqkv": kern(blk["attn"]["c_attn"]),
+        "bqkv": bias(blk["attn"]["c_attn"]),
+        "wproj": kern(blk["attn"]["c_proj"]),
+        "bproj": bias(blk["attn"]["c_proj"]),
+        "wfc": kern(blk["mlp_fc"]), "bfc": bias(blk["mlp_fc"]),
+        "wfc2": kern(blk["mlp_proj"]),
+        "bfc2": bias(blk["mlp_proj"]),
     }
+    if quant:
+        qs = lambda p: jnp.asarray(p["qscale"], jnp.float32)[:, None, :]
+        out.update(sqkv=qs(blk["attn"]["c_attn"]),
+                   sproj=qs(blk["attn"]["c_proj"]),
+                   sfc=qs(blk["mlp_fc"]), sfc2=qs(blk["mlp_proj"]))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "ck", "interpret"))
@@ -268,12 +291,20 @@ def fused_decode_step(stacked: dict, x, cache: dict, cache_index, *,
         ks = jnp.zeros((lcount, b, heads, 8), jnp.float32)
         vs = ks
     assert t_max % ck == 0, (t_max, ck)
+    quant_w = stacked["wqkv"].dtype == jnp.int8
+    if quant_w:
+        wscales = (stacked["sqkv"], stacked["sproj"],
+                   stacked["sfc"], stacked["sfc2"])
+    else:  # tiny placeholders keep the operand list static
+        z = jnp.zeros((lcount, 1, 8), jnp.float32)
+        wscales = (z, z, z, z)
 
     grid = (lcount,)
     w = lambda blockshape: pl.BlockSpec(blockshape,
                                         lambda l: (l,) + (0,) * (len(blockshape) - 1))
     out = pl.pallas_call(
-        functools.partial(_kernel, heads=heads, ck=ck, quantized=quantized),  # noqa
+        functools.partial(_kernel, heads=heads, ck=ck, quantized=quantized,  # noqa
+                          quant_w=quant_w),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # pos
@@ -284,6 +315,10 @@ def fused_decode_step(stacked: dict, x, cache: dict, cache_index, *,
             w((1, 2, c)),                                    # ln2
             w((1, c, 4 * c)), w((1, 1, 4 * c)),              # wfc, bfc
             w((1, 4 * c, c)), w((1, 1, c)),                  # wfc2, bfc2
+            w((1, 1, 3 * c if quant_w else 8)),              # sqkv
+            w((1, 1, c if quant_w else 8)),                  # sproj
+            w((1, 1, 4 * c if quant_w else 8)),              # sfc
+            w((1, 1, c if quant_w else 8)),                  # sfc2
             pl.BlockSpec(memory_space=pltpu.ANY),            # k cache
             pl.BlockSpec(memory_space=pltpu.ANY),            # v cache
             pl.BlockSpec(memory_space=pltpu.ANY),            # k scales
@@ -321,5 +356,5 @@ def fused_decode_step(stacked: dict, x, cache: dict, cache_index, *,
     )(jnp.asarray([cache_index], jnp.int32).reshape(1), x.astype(jnp.bfloat16),
       stacked["ln1"], stacked["wqkv"], stacked["bqkv"], stacked["wproj"],
       stacked["bproj"], stacked["ln2"], stacked["wfc"], stacked["bfc"],
-      stacked["wfc2"], stacked["bfc2"], ck_cache, cv_cache, ks, vs)
+      stacked["wfc2"], stacked["bfc2"], *wscales, ck_cache, cv_cache, ks, vs)
     return out[0], out[1], out[2]
