@@ -231,7 +231,9 @@ def test_gpt_fused_step_knob_quality_e2e():
                     diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
                     use_deterministic_seed=19, verbose=False)
     assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
-    # int8 weights + fused step is refused (would drop qscale silently)
+    # int8 weights + fused step: supported since round 4 — the kernel
+    # streams the QuantDense int8 kernels and applies qscale in-kernel
+    # (ops/decode_step_pallas.prepare_stacked_params)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         tts_8 = TextToSpeech(
@@ -244,4 +246,10 @@ def test_gpt_fused_step_knob_quality_e2e():
             clvp_config=CLVPConfig(dim_text=128, dim_speech=128, dim_latent=128,
                                    text_enc_depth=2, text_heads=4,
                                    speech_enc_depth=2, speech_heads=4))
-    assert tts_8.gpt_fused_step is False
+    assert tts_8.gpt_fused_step is True
+    assert tts_8._ar_stacked is not None
+    assert tts_8._ar_stacked["wqkv"].dtype == jnp.int8
+    wav8 = tts_8.tts("Fused step tiny test.", num_autoregressive_samples=2,
+                     diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
+                     use_deterministic_seed=19, verbose=False)
+    assert np.isfinite(wav8).all() and np.abs(wav8).max() <= 1.0

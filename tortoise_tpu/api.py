@@ -528,7 +528,13 @@ class TextToSpeech:
             cond_free_k=2.0, diffusion_temperature=1.0, diffusion_sampler="p",
             **unused_hf_kwargs):
         """Full quality pipeline (reference api.py:334-597). Returns a float32
-        (1, 1, S) wav at 24 kHz, or a list of k wavs."""
+        (1, 1, S) wav at 24 kHz, or a list of k wavs.
+
+        ``length_penalty`` is accepted for reference-API compatibility but
+        is a NO-OP, faithfully: the reference only forwards it to HF
+        ``generate``, where it exclusively affects beam search — and the
+        pipeline always samples (``do_sample=True``), so it never applies
+        there either."""
         from tortoise_tpu.utils.profiling import StageTimer
 
         timer = StageTimer(enabled=True)

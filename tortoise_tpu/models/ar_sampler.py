@@ -253,11 +253,15 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
         # the fused kernel is a single-device pallas_call; GSPMD cannot
         # partition it over a dp/tp mesh — sharded decode uses the XLA stack
         settings = dataclasses.replace(settings, fused_step=False)
-    if settings.fused_step and cache_dtype == jnp.int8 and num_samples > 64:
+    if settings.fused_step and cache_dtype == jnp.int8:
         # int8 cache pins the kernel's chunk size to 128 (tile-aligned scale
-        # DMA); at B=128 the chunk+weight buffers exceed the ~128 MB VMEM
-        # budget and Mosaic refuses to compile — B=64 is the measured max
-        settings = dataclasses.replace(settings, fused_step=False)
+        # DMA). With bf16 weights the chunk+weight buffers exceed the
+        # ~128 MB VMEM budget above B=64 and Mosaic refuses to compile; the
+        # int8-weight stack halves the weight buffers and compiles (and
+        # wins: -18% at B=96) up to B=128.
+        cap = 128 if model.config.gpt_config.quant_weights else 64
+        if num_samples > cap:
+            settings = dataclasses.replace(settings, fused_step=False)
     stacked = _resolve_stacked(model, variables, settings, stacked)
     return _decode(model, variables, stacked, prompt, rng, settings,
                    cache_dtype, cache_sharding)
