@@ -23,9 +23,9 @@ def tts():
 
 def test_gpt_fused_step_default_resolution(tts):
     """The fused decode kernel defaults ON only where measured to win
-    (TPU + bf16 + full-precision weights, docs/ROOFLINE.md); on the CPU
-    suite it must resolve OFF (interpret mode), while an explicit True is
-    honored and int8 weights force it off."""
+    (TPU, docs/ROOFLINE.md); on the CPU suite it must resolve OFF
+    (interpret mode), while an explicit True is honored — since round 4
+    also with int8 weights (the kernel streams the QuantDense int8 stack)."""
     assert tts.gpt_fused_step is False  # cpu + f32 fixture
     cfg = UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
                              max_text_tokens=60, max_mel_tokens=80)
@@ -33,11 +33,13 @@ def test_gpt_fused_step_default_resolution(tts):
         warnings.simplefilter("ignore")
         on = TextToSpeechFast(dtype=jnp.float32, ar_config=cfg,
                               latent_bucket=16, gpt_fused_step=True)
-        off = TextToSpeechFast(dtype=jnp.float32, ar_config=cfg,
+        on8 = TextToSpeechFast(dtype=jnp.float32, ar_config=cfg,
                                latent_bucket=16, gpt_fused_step=True,
                                gpt_weights="int8")
     assert on.gpt_fused_step is True
-    assert off.gpt_fused_step is False
+    assert on8.gpt_fused_step is True
+    assert on8._ar_stacked is not None
+    assert on8._ar_stacked["wqkv"].dtype == jnp.int8
 
 
 def test_tts_shapes_and_determinism(tts):

@@ -206,6 +206,8 @@ class TextToSpeech:
             return jax.device_put({"params": p}), source
 
         # gpt_weights="int8": weight-only int8 GPT kernels (gpt2.QuantDense)
+        # everywhere; "int8_decode": bf16 tree + int8 stack for the fused
+        # decode kernel only (see the stacking block below)
         cfg = weights_lib.resolve_gpt_quant(ar_config or UnifiedVoiceConfig(),
                                             gpt_weights)
         self.ar_cfg = cfg
@@ -224,7 +226,20 @@ class TextToSpeech:
         if self.gpt_fused_step:
             from tortoise_tpu.models.ar_sampler import stack_fused_params
 
-            self._ar_stacked = stack_fused_params(self.ar_vars)
+            if gpt_weights == "int8_decode":
+                # decode-only weight quantization: prefill / teacher-forced
+                # latent re-extraction keep exact bf16 weights, while the
+                # fused DECODE kernel streams an int8-quantized stack (half
+                # the per-step weight bytes). This is the closest analog of
+                # the reference's DeepSpeed quantized kernel injection
+                # (autoregressive.py:379-392): quantized inference kernels
+                # under an unquantized checkpoint.
+                qp = weights_lib.quantize_gpt_weights(
+                    jax.device_get(self.ar_vars["params"]))
+                self._ar_stacked = stack_fused_params(
+                    jax.device_put({"params": qp}))
+            else:
+                self._ar_stacked = stack_fused_params(self.ar_vars)
 
         dcfg = diffusion_config or DiffusionTtsConfig(
             in_latent_channels=cfg.model_dim)
@@ -412,9 +427,21 @@ class TextToSpeech:
                     jax.random.PRNGKey(6), jnp.zeros((1, 2 * d)))["params"],
                 self._models_dir, allow_random=self._allow_random)
             self._rlg_diff_vars = {"params": p}
-        r1, r2 = jax.random.split(jax.random.PRNGKey(seed))
-        return (np.asarray(sample_random_latent(self.rlg_auto, self._rlg_auto_vars, r1)),
-                np.asarray(sample_random_latent(self.rlg_diffusion, self._rlg_diff_vars, r2)))
+            # one fused dispatch for BOTH latents, params resident: the
+            # two-call + two-blocking-fetch version measured 239 ms of the
+            # fast preset's wall (each np.asarray is a tunnel round trip)
+            self._rlg_auto_vars = jax.device_put(self._rlg_auto_vars)
+            self._rlg_diff_vars = jax.device_put(self._rlg_diff_vars)
+
+            @jax.jit
+            def _both(va, vd, seed_):
+                r1, r2 = jax.random.split(jax.random.PRNGKey(seed_))
+                return (sample_random_latent(self.rlg_auto, va, r1),
+                        sample_random_latent(self.rlg_diffusion, vd, r2))
+
+            self._rlg_both = _both
+        return self._rlg_both(self._rlg_auto_vars, self._rlg_diff_vars,
+                              jnp.asarray(seed, jnp.uint32))
 
     # ------------------------------------------------------------------
     def _diffusion_loop(self, steps: int, cond_free: bool, cond_free_k: float,
@@ -562,16 +589,19 @@ class TextToSpeech:
                                      ((0, 0), (0, tb - text_tokens.shape[1])))
 
         auto_conds = None
-        if voice_samples is not None:
-            auto_conditioning, diffusion_conditioning, auto_conds, _ = \
-                self.get_conditioning_latents(voice_samples, return_mels=True)
-        elif conditioning_latents is not None:
-            auto_conditioning, diffusion_conditioning = conditioning_latents
-        else:
-            auto_conditioning, diffusion_conditioning = \
-                self.get_random_conditioning_latents(det_seed)
-        auto_conditioning = np.asarray(auto_conditioning)
-        diffusion_conditioning = np.asarray(diffusion_conditioning)
+        with timer.stage("conditioning"):
+            if voice_samples is not None:
+                auto_conditioning, diffusion_conditioning, auto_conds, _ = \
+                    self.get_conditioning_latents(voice_samples, return_mels=True)
+            elif conditioning_latents is not None:
+                auto_conditioning, diffusion_conditioning = conditioning_latents
+            else:
+                auto_conditioning, diffusion_conditioning = \
+                    self.get_random_conditioning_latents(det_seed)
+            # keep latents wherever they are (device arrays from the RLG
+            # path): forcing np here costs two blocking tunnel fetches
+            auto_conditioning = jnp.asarray(auto_conditioning)
+            diffusion_conditioning = jnp.asarray(diffusion_conditioning)
 
         stop_token = self.ar_cfg.stop_mel_token
 
@@ -653,7 +683,7 @@ class TextToSpeech:
         # consumes them there; no host round-trip) ------------------------
         with timer.stage("latent_reextraction"):
             best_latents = self._relatent(
-                jnp.asarray(np.repeat(auto_conditioning, k, axis=0)),
+                jnp.repeat(jnp.asarray(auto_conditioning), k, axis=0),
                 jnp.asarray(np.repeat(text_tokens, k, axis=0)),
                 jnp.asarray(best_results))
 
@@ -693,7 +723,8 @@ class TextToSpeech:
                     self.aligner = None
             return clip
 
-        wav_candidates = [potentially_redact(w, text) for w in wav_candidates]
+        with timer.stage("redact_finalize"):
+            wav_candidates = [potentially_redact(w, text) for w in wav_candidates]
         if verbose:
             timer.report(print_it=True)
         self.last_stage_timings = timer.report()
