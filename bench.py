@@ -296,17 +296,18 @@ def main():
         try:
             # BASELINE config 2 north star: quality `fast` preset (96 AR
             # candidates / 80 cond-free diffusion steps, reference
-            # api.py:324-329) under 2 s p50. One 96-candidate batch with
-            # int8 KV cache + int8 GPT weights — the production quantized
-            # serving config (VERDICT r3 task 3).
-            qtts88 = TextToSpeech(half=True, kv_cache_dtype="int8",
-                                  gpt_weights="int8")
+            # api.py:324-329) under 2 s p50. gpt_weights="int8_decode" is
+            # the measured-best config: exact bf16 prefill/re-extraction,
+            # int8 stack for the fused decode kernel only (the measured
+            # sweep — B=96 single batch, full-int8, int8 KV — all lose to
+            # the 64+32 bf16 tiering; see the round-4 commit log).
+            qtts88 = TextToSpeech(half=True, gpt_weights="int8_decode")
             q_rtf, q_p50, q_audio = _measure(
                 quality_runner(qtts88, "fast", args.tokens), args.ladder_runs)
-            detail.setdefault("quality_ladder", {})["fast_int8"] = {
+            detail.setdefault("quality_ladder", {})["fast_int8_decode"] = {
                 "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
                 "audio_s_per_run": round(q_audio, 2),
-                "kv_cache": "int8", "gpt_weights": "int8",
+                "gpt_weights": "int8_decode",
                 "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
             del qtts88
         except Exception as e:
@@ -328,6 +329,22 @@ def main():
             q_rtf, q_p50, _ = _measure(run8, 3)
             detail["fast_int8_weights"] = {"rtf": round(q_rtf, 4),
                                            "p50_latency_s": round(q_p50, 3)}
+            # decode-only int8: exact bf16 prefill/head + int8 fused decode
+            # stack — the measured-best B=1 config (0.412 vs 0.427 full-int8
+            # vs 0.532 bf16 p50 on v5e)
+            tts8d = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
+                                     gpt_weights="int8_decode")
+
+            def run8d(seed):
+                t0 = time.perf_counter()
+                wav = tts8d.tts(SENTENCE, use_deterministic_seed=seed,
+                                max_mel_tokens=tokens, verbose=False)
+                return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+
+            q_rtf, q_p50, _ = _measure(run8d, 3)
+            detail["fast_int8_decode"] = {"rtf": round(q_rtf, 4),
+                                          "p50_latency_s": round(q_p50, 3)}
+            del tts8d
             # streaming first-audio (README's latency claim) — measured in
             # the artifact, both weight dtypes (VERDICT r2 missing #4)
             detail["first_audio_ms"] = {"int8_weights": _first_audio(tts8)}

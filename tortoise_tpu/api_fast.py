@@ -131,7 +131,15 @@ class TextToSpeechFast:
         if self.gpt_fused_step:
             from tortoise_tpu.models.ar_sampler import stack_fused_params
 
-            self._ar_stacked = stack_fused_params(self.ar_vars)
+            if gpt_weights == "int8_decode":
+                # decode-only weight quantization (see api.py): exact bf16
+                # prefill/streaming-head embeds, int8 stack for the fused
+                # decode steps (half the per-step weight stream)
+                qp = weights_lib.quantize_gpt_weights(jax.device_get(p))
+                self._ar_stacked = stack_fused_params(
+                    jax.device_put({"params": qp}))
+            else:
+                self._ar_stacked = stack_fused_params(self.ar_vars)
 
         hifi_cfg = HifiganConfig(in_channels=cfg.model_dim, cond_channels=cfg.model_dim)
         self.hifi_decoder = HifiganGenerator(hifi_cfg, dtype=jnp.float32)

@@ -48,9 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="int8 halves decode HBM traffic and doubles the "
                              "candidate batch (bounded quantization error)")
     parser.add_argument("--gpt-weights", type=str, default="bf16",
-                        choices=["bf16", "int8"],
-                        help="int8 weight-only GPT kernels (faster small-batch "
-                             "decode, bounded error)")
+                        choices=["bf16", "int8", "int8_decode"],
+                        help="int8: weight-only GPT kernels everywhere "
+                             "(faster small-batch decode, bounded error); "
+                             "int8_decode: exact bf16 prefill + int8 stack "
+                             "for the fused decode kernel only (quality API)")
     parser.add_argument("--gpt-fused-step", action=argparse.BooleanOptionalAction,
                         default=None,
                         help="whole-step fused Pallas decode kernel (bf16 "
