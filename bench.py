@@ -6,15 +6,22 @@ Headline metric = the reference's published fast-path number (README.md:34:
 of generated audio for the full fast pipeline (conditioning -> AR decode ->
 latent re-extraction -> HiFi-GAN), compiled shapes warmed, median of N runs.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "detail"}.
-``vs_baseline`` = reference_rtf / our_rtf (>1 means faster than the
-reference's published number). On real hardware the default run ALSO
-measures the quality pipeline ladder (ultra_fast / fast / standard presets,
-reference api.py:320-331) and reports it under ``detail.quality_ladder`` so
-the bench artifact tracks the whole claim surface. Runs with converted
-checkpoints when present, else random weights — identical compute path.
+Prints the json line {"metric", "value", "unit", "vs_baseline", "detail"}
+REPEATEDLY: once as soon as the headline measurement exists, then again
+after every completed section (the driver takes the LAST parseable line, so
+a timeout can only truncate sections, never erase the headline). A
+wall-clock budget (``BENCH_BUDGET_S`` env or ``--budget``, default 1500 s)
+skips remaining optional sections when exceeded; skips are recorded in
+``detail.sections_skipped``.
 
-Usage: python bench.py [--smoke] [--runs N] [--tokens N]
+Sections run in order of importance: headline fast path, quality ladder
+(ultra_fast / fast / standard, reference api.py:320-331), the
+``fast_int8_decode`` north-star row, long-form high_quality, first-audio
+latency, 64-utterance serving, then the optional A/B and continuity rows.
+Runs with converted checkpoints when present, else random weights —
+identical compute path.
+
+Usage: python bench.py [--smoke] [--runs N] [--tokens N] [--budget S]
                        [--preset P | --fast-only] [--ladder-runs N]
 """
 import argparse
@@ -34,7 +41,10 @@ SENTENCE = ("Thanks for reading this article. I hope you found it informative "
             "and that it made you curious about the world of speech synthesis.")
 LADDER = ("ultra_fast", "fast", "standard")
 
-
+# long-form paragraph sized to split into ~3 chunks at (200, 300) — enough to
+# exercise varying clip lengths and the read.py chunk loop without turning the
+# bench into a narration session (VERDICT r4 weak #1: the 6-chunk, 7-pass
+# version DNF'd the driver window).
 PARAGRAPH = (
     "The field of speech synthesis has advanced remarkably over the past "
     "decade, moving from robotic concatenative systems to neural models that "
@@ -42,18 +52,8 @@ PARAGRAPH = (
     "transformers first predict a sequence of acoustic tokens from text, "
     "conditioned on short reference clips of the target voice. A diffusion "
     "model then refines those tokens into a detailed mel spectrogram, and a "
-    "neural vocoder turns the spectrogram into a waveform. Each stage can be "
-    "batched and compiled ahead of time, which is what makes the whole "
-    "pipeline such a natural fit for dense accelerator hardware. "
-    "Reading a full chapter stresses the serving path differently than a "
-    "single sentence ever could, because clip lengths vary from one "
-    "sentence to the next and every new length risks a fresh compilation. "
-    "Bucketing the decoder shapes keeps those compilations out of the "
-    "steady state, so the reader simply hears one sentence after another. "
-    "The end of the paragraph arrives with the same cadence as the start, "
-    "which is exactly what a listener expects from a narrated book. "
-    "Measured over several minutes of narration, the steady-state real "
-    "time factor is the honest number, and it is the one reported here.")
+    "neural vocoder turns the spectrogram into a waveform, so the whole "
+    "pipeline maps naturally onto dense accelerator hardware.")
 
 
 def _measure(fn, runs):
@@ -64,7 +64,7 @@ def _measure(fn, runs):
     return rtf, walls[len(walls) // 2], results[0][1]
 
 
-def _long_form(qtts, args):
+def _long_form(qtts, n_runs=3):
     """BASELINE config 4: read.py-driver long-form synthesis (reference
     read.py:55-85) — split a paragraph into chunks, compute voice latents
     once, synthesize every chunk at high_quality, concatenate. RTF over the
@@ -88,11 +88,9 @@ def _long_form(qtts, args):
     # steady-state serving: different seeds produce different clip lengths,
     # and a first-seen length bucket costs a multi-second XLA compile — warm
     # the EXACT timed seeds once so no compile lands inside a timed run.
-    # >= 3 timed runs over >= 6 chunks (~2 min audio) with min/median/max:
-    # the round-3 row rode a 2.6% margin on n=2 (VERDICT r3 weak #3).
-    n_runs = max(3, args.ladder_runs)
-    for i in range(n_runs + 1):
-        run(i)
+    # 3 timed runs (>= 3 per VERDICT r3 weak #3; capped at 3 per r4 weak #1).
+    for i in range(n_runs):
+        run(i + 1)
     results = [run(i + 1) for i in range(n_runs)]
     rtfs = sorted(w / a for w, a in results)
     walls = sorted(w for w, _ in results)
@@ -146,7 +144,16 @@ def main():
                     help="timed runs per quality preset in the ladder")
     ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"],
                     help="KV cache dtype for --preset mode")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", "1500")),
+                    help="wall-clock budget in seconds; optional sections are "
+                         "skipped once the estimated cost no longer fits")
     args = ap.parse_args()
+
+    t_start = time.perf_counter()
+
+    def remaining():
+        return args.budget - (time.perf_counter() - t_start)
 
     import warnings
 
@@ -218,200 +225,218 @@ def main():
         "ar_tokens": tokens,
         "weights": tts.ar_source,
         "device": str(jax.devices()[0]),
+        "sections_skipped": [],
     }
 
-    if not args.smoke and not args.fast_only:
-        # fused-kernel A/B rows (VERDICT r3 task 1: never ship a default
-        # without a composed A/B in the artifact). The headline above IS
-        # B=1 fused-ON (the default); this adds B=1 OFF, and B=64 ON to
-        # complement batched_serving's default-OFF row below.
-        try:
-            tts_off = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
-                                       gpt_fused_step=False)
+    def emit():
+        # the driver takes the LAST parseable line: re-print after every
+        # section so a timeout truncates the artifact instead of erasing it
+        detail["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        print(json.dumps({
+            "metric": "fast_preset_rtf",
+            "value": round(rtf, 4),
+            "unit": "wall_sec_per_audio_sec",
+            "vs_baseline": round(REFERENCE_RTF / rtf, 3),
+            "detail": detail,
+        }), flush=True)
 
-            def run_off(seed):
-                t0 = time.perf_counter()
-                wav = tts_off.tts(SENTENCE, use_deterministic_seed=seed,
-                                  max_mel_tokens=tokens, verbose=False)
-                return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+    emit()  # the headline exists from here on, no matter what happens below
+    if args.smoke or args.fast_only:
+        return
 
-            ab_rtf, ab_p50, _ = _measure(run_off, 3)
-            detail["fused_ab"] = {
-                "fast_b1": {"on": {"rtf": round(rtf, 4),
-                                   "p50_latency_s": round(p50_wall, 3),
-                                   "default": True},
-                            "off": {"rtf": round(ab_rtf, 4),
-                                    "p50_latency_s": round(ab_p50, 3)}}}
-            del tts_off
-        except Exception as e:
-            detail["fused_ab_error"] = f"{type(e).__name__}: {e}"
+    # (name, est_cost_s, fn) — est_cost is a deliberately conservative v5e
+    # figure (instantiation + compiles + timed runs) used only for the
+    # skip-when-over-budget decision. Ordered by importance (VERDICT r4 task
+    # 1: fast p50, ladder incl. fast_int8_decode, long-form, first-audio,
+    # 64-utt serving are the must-land rows; A/B + continuity rows last).
+    state = {}
 
-        # quality-preset ladder (reference preset costs api.py:320-331):
-        # tracked in the artifact so the quality-path claims are measured,
-        # not prose (VERDICT r1 missing #6)
-        try:
-            from tortoise_tpu.api import TextToSpeech
+    def sec_ladder():
+        from tortoise_tpu.api import TextToSpeech
 
-            qtts = TextToSpeech(half=True)
-            ladder = {}
-            for preset in LADDER:
-                q_rtf, q_p50, q_audio = _measure(
-                    quality_runner(qtts, preset, args.tokens), args.ladder_runs)
-                ladder[preset] = {"rtf": round(q_rtf, 4),
-                                  "p50_latency_s": round(q_p50, 3),
-                                  "audio_s_per_run": round(q_audio, 2),
-                                  "vs_k80_baseline": round(
-                                      REFERENCE_QUALITY_RTF / q_rtf, 2)}
-            detail["quality_ladder"] = ladder
-            detail["quality_ladder_runs"] = args.ladder_runs
-            del qtts
-        except Exception as e:  # keep the headline metric even if this fails
-            detail["quality_ladder_error"] = f"{type(e).__name__}: {e}"
-
-        try:
-            # the int8 KV cache serving config: same standard-preset work
-            # (256 candidates / 200 steps), quantized decode reads + B=64.
-            # high_quality (256 samples / 400 diffusion steps, reference
-            # api.py:328-331) rides the same instance — the most expensive
-            # preset is part of the default artifact, not a one-off run.
-            qtts8 = TextToSpeech(half=True, kv_cache_dtype="int8")
-            for preset, row in (("standard", "standard_int8kv"),
-                                ("high_quality", "high_quality_int8kv")):
-                q_rtf, q_p50, q_audio = _measure(
-                    quality_runner(qtts8, preset, args.tokens), args.ladder_runs)
-                detail.setdefault("quality_ladder", {})[row] = {
-                    "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
-                    "audio_s_per_run": round(q_audio, 2),
-                    "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
-
-            # BASELINE config 4: long-form high_quality through the read.py
-            # driver path (reference read.py:13-101) — paragraph split into
-            # sentence chunks, conditioning latents computed ONCE from a
-            # bundled voice and reused across every chunk.
-            detail["long_form_high_quality"] = _long_form(qtts8, args)
-            del qtts8
-        except Exception as e:
-            detail["quality_int8kv_error"] = f"{type(e).__name__}: {e}"
-
-        try:
-            # BASELINE config 2 north star: quality `fast` preset (96 AR
-            # candidates / 80 cond-free diffusion steps, reference
-            # api.py:324-329) under 2 s p50. gpt_weights="int8_decode" is
-            # the measured-best config: exact bf16 prefill/re-extraction,
-            # int8 stack for the fused decode kernel only (the measured
-            # sweep — B=96 single batch, full-int8, int8 KV — all lose to
-            # the 64+32 bf16 tiering; see the round-4 commit log).
-            qtts88 = TextToSpeech(half=True, gpt_weights="int8_decode")
+        qtts = TextToSpeech(half=True)
+        ladder = {}
+        for preset in LADDER:
             q_rtf, q_p50, q_audio = _measure(
-                quality_runner(qtts88, "fast", args.tokens), args.ladder_runs)
-            detail.setdefault("quality_ladder", {})["fast_int8_decode"] = {
-                "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
-                "audio_s_per_run": round(q_audio, 2),
-                "gpt_weights": "int8_decode",
-                "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
-            del qtts88
-        except Exception as e:
-            detail["fast_int8_preset_error"] = f"{type(e).__name__}: {e}"
+                quality_runner(qtts, preset, args.tokens), args.ladder_runs)
+            ladder[preset] = {"rtf": round(q_rtf, 4),
+                              "p50_latency_s": round(q_p50, 3),
+                              "audio_s_per_run": round(q_audio, 2),
+                              "vs_k80_baseline": round(
+                                  REFERENCE_QUALITY_RTF / q_rtf, 2)}
+        detail["quality_ladder"] = ladder
+        detail["quality_ladder_runs"] = args.ladder_runs
+        del qtts
 
-        # fast path with weight-only int8 GPT kernels: the B=1 decode is
-        # weight-bandwidth-bound, so this is the fast path's biggest
-        # single-chip lever (measured -30% p50 on v5e)
-        try:
-            tts8 = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
-                                    gpt_weights="int8")
+    def sec_fast_int8_decode():
+        # BASELINE config 2 north star: quality `fast` preset (96 AR
+        # candidates / 80 cond-free diffusion steps, reference
+        # api.py:324-329) under 2 s p50. gpt_weights="int8_decode" is the
+        # measured-best config: exact bf16 prefill/re-extraction, int8
+        # stack for the fused decode kernel only.
+        from tortoise_tpu.api import TextToSpeech
 
-            def run8(seed):
-                t0 = time.perf_counter()
-                wav = tts8.tts(SENTENCE, use_deterministic_seed=seed,
-                               max_mel_tokens=tokens, verbose=False)
-                return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+        qtts = TextToSpeech(half=True, gpt_weights="int8_decode")
+        q_rtf, q_p50, q_audio = _measure(
+            quality_runner(qtts, "fast", args.tokens), args.ladder_runs)
+        detail.setdefault("quality_ladder", {})["fast_int8_decode"] = {
+            "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
+            "audio_s_per_run": round(q_audio, 2),
+            "gpt_weights": "int8_decode",
+            "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
+        del qtts
 
-            q_rtf, q_p50, _ = _measure(run8, 3)
-            detail["fast_int8_weights"] = {"rtf": round(q_rtf, 4),
-                                           "p50_latency_s": round(q_p50, 3)}
-            # decode-only int8: exact bf16 prefill/head + int8 fused decode
-            # stack — the measured-best B=1 config (0.412 vs 0.427 full-int8
-            # vs 0.532 bf16 p50 on v5e)
-            tts8d = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
-                                     gpt_weights="int8_decode")
+    def sec_long_form():
+        # the int8 KV cache serving config at the most expensive preset
+        # (256 samples / 400 diffusion steps, reference api.py:328-331),
+        # then BASELINE config 4 long-form on the same instance.
+        from tortoise_tpu.api import TextToSpeech
 
-            def run8d(seed):
-                t0 = time.perf_counter()
-                wav = tts8d.tts(SENTENCE, use_deterministic_seed=seed,
-                                max_mel_tokens=tokens, verbose=False)
-                return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+        qtts8 = TextToSpeech(half=True, kv_cache_dtype="int8")
+        q_rtf, q_p50, q_audio = _measure(
+            quality_runner(qtts8, "high_quality", args.tokens),
+            args.ladder_runs)
+        detail.setdefault("quality_ladder", {})["high_quality_int8kv"] = {
+            "rtf": round(q_rtf, 4), "p50_latency_s": round(q_p50, 3),
+            "audio_s_per_run": round(q_audio, 2),
+            "vs_k80_baseline": round(REFERENCE_QUALITY_RTF / q_rtf, 2)}
+        emit()
+        detail["long_form_high_quality"] = _long_form(qtts8)
+        del qtts8
 
-            q_rtf, q_p50, _ = _measure(run8d, 3)
-            detail["fast_int8_decode"] = {"rtf": round(q_rtf, 4),
-                                          "p50_latency_s": round(q_p50, 3)}
-            del tts8d
-            # streaming first-audio (README's latency claim) — measured in
-            # the artifact, both weight dtypes (VERDICT r2 missing #4)
-            detail["first_audio_ms"] = {"int8_weights": _first_audio(tts8)}
-            del tts8
-        except Exception as e:
-            detail["fast_int8_weights_error"] = f"{type(e).__name__}: {e}"
+    def sec_first_audio():
+        # streaming first-audio (README's "< 500 ms" claim, README.md:34):
+        # bf16 on the resident headline instance, int8_decode on a fresh
+        # one (the measured-best B=1 config; kept resident for the
+        # fast_int8_decode fast-path row below).
+        detail["first_audio_ms"] = {"bf16_weights": _first_audio(tts)}
+        emit()
+        tts8d = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
+                                 gpt_weights="int8_decode")
+        detail["first_audio_ms"]["int8_decode"] = _first_audio(tts8d)
 
-        try:
-            detail.setdefault("first_audio_ms", {})["bf16_weights"] = \
-                _first_audio(tts)
-        except Exception as e:
-            detail["first_audio_error"] = f"{type(e).__name__}: {e}"
+        def run8d(seed):
+            t0 = time.perf_counter()
+            wav = tts8d.tts(SENTENCE, use_deterministic_seed=seed,
+                            max_mel_tokens=tokens, verbose=False)
+            return time.perf_counter() - t0, wav.shape[-1] / 24000.0
 
-        # batched fast-path serving (BASELINE config 5): N concurrent
+        q_rtf, q_p50, _ = _measure(run8d, 3)
+        detail["fast_int8_decode"] = {"rtf": round(q_rtf, 4),
+                                      "p50_latency_s": round(q_p50, 3)}
+        del tts8d
+
+    def sec_serving_64():
+        # batched fast-path serving (BASELINE config 5): 64 concurrent
         # utterances through one set of compiled programs; throughput =
-        # total audio seconds / wall second. 64 is the BASELINE spec size;
-        # 8 is kept for round-over-round continuity.
-        for n_serve in (8, 64):
-            try:
-                serve_texts = [f"{SENTENCE} Utterance number {i}."
-                               for i in range(n_serve)]
+        # total audio seconds / wall second. Both fused-kernel settings
+        # (tts_batch defaults OFF per the composed measurement).
+        serve_texts = [f"{SENTENCE} Utterance number {i}." for i in range(64)]
 
-                def serve(seed):
-                    t0 = time.perf_counter()
-                    wavs = tts.tts_batch(serve_texts, use_deterministic_seed=seed,
-                                         max_mel_tokens=tokens, verbose=False)
-                    wall = time.perf_counter() - t0
-                    return wall, sum(w.shape[-1] for w in wavs) / 24000.0
+        def serve(fused):
+            def f(seed):
+                t0 = time.perf_counter()
+                wavs = tts.tts_batch(serve_texts, use_deterministic_seed=seed,
+                                     max_mel_tokens=tokens,
+                                     gpt_fused_step=fused, verbose=False)
+                wall = time.perf_counter() - t0
+                return wall, sum(w.shape[-1] for w in wavs) / 24000.0
+            return f
 
-                s_rtf, s_p50, s_audio = _measure(serve, 3 if n_serve == 8 else 2)
-                row = {"utterances": n_serve,
-                       "throughput_audio_s_per_s": round(1.0 / s_rtf, 2),
-                       "p50_wall_s": round(s_p50, 3),
-                       "audio_s_per_run": round(s_audio, 2)}
-                if n_serve == 8:
-                    detail["batched_serving_8"] = row
-                else:
-                    detail["batched_serving"] = row  # the BASELINE-spec row
-                    # fused ON at B=64 (the A/B counterpart — tts_batch
-                    # defaults OFF per the composed measurement)
-                    def serve_on(seed):
-                        t0 = time.perf_counter()
-                        wavs = tts.tts_batch(serve_texts,
-                                             use_deterministic_seed=seed,
-                                             max_mel_tokens=tokens,
-                                             gpt_fused_step=True,
-                                             verbose=False)
-                        wall = time.perf_counter() - t0
-                        return wall, sum(w.shape[-1] for w in wavs) / 24000.0
+        s_rtf, s_p50, s_audio = _measure(serve(False), 2)
+        detail["batched_serving"] = {
+            "utterances": 64,
+            "throughput_audio_s_per_s": round(1.0 / s_rtf, 2),
+            "p50_wall_s": round(s_p50, 3),
+            "audio_s_per_run": round(s_audio, 2)}
+        state["serve64_off"] = (s_rtf, s_p50)
 
-                    o_rtf, o_p50, _ = _measure(serve_on, 2)
-                    detail.setdefault("fused_ab", {})["batch64"] = {
-                        "off": {"p50_wall_s": round(s_p50, 3),
-                                "throughput_audio_s_per_s": round(1.0 / s_rtf, 2),
-                                "default": True},
-                        "on": {"p50_wall_s": round(o_p50, 3),
-                               "throughput_audio_s_per_s": round(1.0 / o_rtf, 2)}}
-            except Exception as e:  # keep the headline metric even if this fails
-                detail[f"batched_serving_{n_serve}_error"] = f"{type(e).__name__}: {e}"
+    def sec_fused_ab():
+        # fused-kernel A/B rows (VERDICT r3 task 1: never ship a default
+        # without a composed A/B in the artifact). The headline IS B=1
+        # fused-ON (the default); this adds B=1 OFF and B=64 ON.
+        tts_off = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64,
+                                   gpt_fused_step=False)
 
-    print(json.dumps({
-        "metric": "fast_preset_rtf",
-        "value": round(rtf, 4),
-        "unit": "wall_sec_per_audio_sec",
-        "vs_baseline": round(REFERENCE_RTF / rtf, 3),
-        "detail": detail,
-    }))
+        def run_off(seed):
+            t0 = time.perf_counter()
+            wav = tts_off.tts(SENTENCE, use_deterministic_seed=seed,
+                              max_mel_tokens=tokens, verbose=False)
+            return time.perf_counter() - t0, wav.shape[-1] / 24000.0
+
+        ab_rtf, ab_p50, _ = _measure(run_off, 2)
+        detail["fused_ab"] = {
+            "fast_b1": {"on": {"rtf": round(rtf, 4),
+                               "p50_latency_s": round(p50_wall, 3),
+                               "default": True},
+                        "off": {"rtf": round(ab_rtf, 4),
+                                "p50_latency_s": round(ab_p50, 3)}}}
+        del tts_off
+        if "serve64_off" not in state:
+            return
+        emit()
+        serve_texts = [f"{SENTENCE} Utterance number {i}." for i in range(64)]
+
+        def serve_on(seed):
+            t0 = time.perf_counter()
+            wavs = tts.tts_batch(serve_texts, use_deterministic_seed=seed,
+                                 max_mel_tokens=tokens,
+                                 gpt_fused_step=True, verbose=False)
+            wall = time.perf_counter() - t0
+            return wall, sum(w.shape[-1] for w in wavs) / 24000.0
+
+        o_rtf, o_p50, _ = _measure(serve_on, 2)
+        s_rtf, s_p50 = state["serve64_off"]
+        detail["fused_ab"]["batch64"] = {
+            "off": {"p50_wall_s": round(s_p50, 3),
+                    "throughput_audio_s_per_s": round(1.0 / s_rtf, 2),
+                    "default": True},
+            "on": {"p50_wall_s": round(o_p50, 3),
+                   "throughput_audio_s_per_s": round(1.0 / o_rtf, 2)}}
+
+    def sec_serving_8():
+        # round-over-round continuity row
+        serve_texts = [f"{SENTENCE} Utterance number {i}." for i in range(8)]
+
+        def serve(seed):
+            t0 = time.perf_counter()
+            wavs = tts.tts_batch(serve_texts, use_deterministic_seed=seed,
+                                 max_mel_tokens=tokens, verbose=False)
+            wall = time.perf_counter() - t0
+            return wall, sum(w.shape[-1] for w in wavs) / 24000.0
+
+        s_rtf, s_p50, s_audio = _measure(serve, 3)
+        detail["batched_serving_8"] = {
+            "utterances": 8,
+            "throughput_audio_s_per_s": round(1.0 / s_rtf, 2),
+            "p50_wall_s": round(s_p50, 3),
+            "audio_s_per_run": round(s_audio, 2)}
+
+    sections = [
+        ("quality_ladder", 180, sec_ladder),
+        ("fast_int8_decode_preset", 130, sec_fast_int8_decode),
+        ("long_form", 330, sec_long_form),
+        ("first_audio", 180, sec_first_audio),
+        ("serving_64", 160, sec_serving_64),
+        ("fused_ab", 180, sec_fused_ab),
+        ("serving_8", 60, sec_serving_8),
+    ]
+    detail["section_times_s"] = {}
+    for name, est_cost, fn in sections:
+        if remaining() < est_cost:
+            detail["sections_skipped"].append(
+                {"section": name, "est_cost_s": est_cost,
+                 "budget_left_s": round(remaining(), 1)})
+            continue
+        t_sec = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:  # keep the headline even if a section fails
+            detail[f"{name}_error"] = f"{type(e).__name__}: {e}"
+        detail["section_times_s"][name] = round(time.perf_counter() - t_sec, 1)
+        emit()
+
+    emit()
 
 
 if __name__ == "__main__":
