@@ -44,14 +44,17 @@ def resolve(tree, path):
 
 
 def iter_rows(readme_text):
-    """Yield (line_no, [bold numbers], [paths]) for annotated table rows."""
+    """Yield (line_no, [bold number literals], [paths]) for annotated rows.
+
+    Numbers stay as the LITERAL digit strings from the README so display
+    precision survives: "0.060" must check at 3 decimals, but float->str
+    would collapse it to "0.06" (2 decimals)."""
     for i, line in enumerate(readme_text.splitlines(), 1):
         m = re.search(r"<!--\s*bench:\s*(.*?)\s*-->", line)
         if not m:
             continue
         paths = [p.strip() for p in m.group(1).split(";") if p.strip()]
-        nums = [float(x) for x in
-                re.findall(r"\*\*([0-9]+(?:\.[0-9]+)?)", line)]
+        nums = re.findall(r"\*\*([0-9]+(?:\.[0-9]+)?)", line)
         yield i, nums, paths
 
 
@@ -87,16 +90,19 @@ def main():
                 f"README:{line_no}: {len(nums)} bold numbers but "
                 f"{len(paths)} bench paths")
             continue
-        for shown, path in zip(nums, paths):
+        for literal, path in zip(nums, paths):
             checked += 1
+            shown = float(literal)
             try:
                 actual = float(resolve(tree, path))
             except KeyError as e:
                 failures.append(f"README:{line_no}: {e}")
                 continue
-            # round the artifact value to the precision the README displays
-            decimals = len(str(shown).split(".")[1]) if "." in str(shown) else 0
-            ok = round(actual, decimals) == shown
+            # precision comes from the literal ("0.060" -> 3 decimals), and
+            # the comparison uses an epsilon so round()'s banker's rounding
+            # on .5-boundary values can't misfire
+            decimals = len(literal.split(".")[1]) if "." in literal else 0
+            ok = abs(round(actual, decimals) - shown) < 10.0 ** -(decimals + 6)
             if not ok and args.tolerance > 0:
                 ok = abs(actual - shown) <= args.tolerance * max(abs(actual),
                                                                  1e-9)

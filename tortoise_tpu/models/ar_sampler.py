@@ -253,16 +253,20 @@ def sample_speech(model: UnifiedVoice, variables: dict, cond_latent: jnp.ndarray
         # the fused kernel is a single-device pallas_call; GSPMD cannot
         # partition it over a dp/tp mesh — sharded decode uses the XLA stack
         settings = dataclasses.replace(settings, fused_step=False)
+    stacked = _resolve_stacked(model, variables, settings, stacked)
     if settings.fused_step and cache_dtype == jnp.int8:
         # int8 cache pins the kernel's chunk size to 128 (tile-aligned scale
         # DMA). With bf16 weights the chunk+weight buffers exceed the
         # ~128 MB VMEM budget above B=64 and Mosaic refuses to compile; the
         # int8-weight stack halves the weight buffers and compiles (and
-        # wins: -18% at B=96) up to B=128.
-        cap = 128 if model.config.gpt_config.quant_weights else 64
+        # wins: -18% at B=96) up to B=128. Gate on the ACTUAL stacked weight
+        # dtype, not the config flag: gpt_weights="int8_decode" keeps the
+        # config bf16 while the stacked kernels are int8.
+        cap = (128 if stacked is not None
+               and stacked["wqkv"].dtype == jnp.int8 else 64)
         if num_samples > cap:
             settings = dataclasses.replace(settings, fused_step=False)
-    stacked = _resolve_stacked(model, variables, settings, stacked)
+            stacked = None
     return _decode(model, variables, stacked, prompt, rng, settings,
                    cache_dtype, cache_sharding)
 

@@ -264,9 +264,24 @@ def prepare_stacked_params(gpt_params: dict) -> dict:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "ck", "interpret"))
 def fused_decode_step(stacked: dict, x, cache: dict, cache_index, *,
                       heads: int, ck: int = 32, interpret: bool = False):
+    """Thin ck-normalizing wrapper around the jitted step.
+
+    The int8 cache pins the chunk size to 128 (tile-aligned scale DMA) —
+    normalizing BEFORE the jit boundary means a ck sweep against an int8
+    cache hits one trace instead of tracing N programs that compile to the
+    identical kernel (and silently measuring the same configuration N
+    times)."""
+    if "k_scale" in cache:
+        ck = 128
+    return _fused_decode_step(stacked, x, cache, cache_index, heads=heads,
+                              ck=ck, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "ck", "interpret"))
+def _fused_decode_step(stacked: dict, x, cache: dict, cache_index, *,
+                       heads: int, ck: int = 32, interpret: bool = False):
     """One full decode step over all layers.
 
     x: (B, C) bf16 token embedding (post decode_embed). cache: the
