@@ -271,3 +271,36 @@ def test_tts_stream_staged_fallback_branch(tts):
     assert total.size > 0 and np.isfinite(total).all()
     chunks2 = list(tts.tts_stream("Large first chunk fallback.", **kwargs))
     np.testing.assert_array_equal(np.concatenate(chunks2), total)
+
+
+@pytest.mark.slow
+def test_tts_batch_constructor_mesh(tts):
+    """TextToSpeechFast(mesh=...) shards tts_batch's utterance batch over dp
+    by default (VERDICT r4 task 6) and reproduces the unsharded wavs."""
+    import jax
+
+    from tortoise_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(dp=8, tp=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        mtts = TextToSpeechFast(
+            dtype=jnp.float32,
+            ar_config=UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                                         max_text_tokens=60, max_mel_tokens=80),
+            latent_bucket=16, mesh=mesh)
+    texts = [f"Utterance number {i} for batched serving." for i in range(8)]
+    base = tts.tts_batch(texts, use_deterministic_seed=4, max_mel_tokens=32,
+                         text_bucket=16, verbose=False)
+    with mesh:
+        sharded = mtts.tts_batch(texts, use_deterministic_seed=4,
+                                 max_mel_tokens=32, text_bucket=16,
+                                 verbose=False)
+    for a, b in zip(base, sharded):
+        np.testing.assert_array_equal(a, b)
+    # indivisible batch (7 % dp != 0) must silently stay unsharded
+    odd = mtts.tts_batch(texts[:7], use_deterministic_seed=4,
+                         max_mel_tokens=32, text_bucket=16, verbose=False)
+    assert len(odd) == 7

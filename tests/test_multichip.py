@@ -139,3 +139,62 @@ def test_quality_api_with_tp_mesh():
                       diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
                       use_deterministic_seed=2, verbose=False)
     assert np.isfinite(wav).all()
+
+
+def test_clvp_scoring_sharded_matches():
+    """SURVEY §2.5: CLVP scoring as one dp-sharded matmul — the candidate
+    batch shards, the text latent replicates, scores match unsharded."""
+    from tortoise_tpu.models.clvp import CLVP, CLVPConfig
+
+    clvp = CLVP(CLVPConfig(dim_text=64, dim_speech=64, dim_latent=64,
+                           text_enc_depth=2, text_heads=4,
+                           speech_enc_depth=2, speech_heads=4))
+    rng = np.random.default_rng(2)
+    text = jnp.asarray(rng.integers(0, 256, (1, 11)), jnp.int32)
+    cands = jnp.asarray(rng.integers(0, 8192, (16, 17)), jnp.int32)
+    variables = clvp.init(jax.random.PRNGKey(3), text, cands[:1])
+    score = jax.jit(lambda v, t, c: clvp.apply(
+        v, t, c, method=CLVP.score_candidates))
+    base = np.asarray(score(variables, text, cands))
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        sharded = np.asarray(score(
+            variables, text, jax.device_put(cands, batch_sharding(mesh))))
+    np.testing.assert_allclose(sharded, base, rtol=1e-5, atol=1e-5)
+
+
+def test_diffusion_fanout_step_sharded_matches():
+    """One batched masked diffusion step over k winners with per-row valid
+    lengths, candidate batch sharded over dp, matches unsharded."""
+    from tortoise_tpu.models.diffusion_decoder import (DiffusionTts,
+                                                       DiffusionTtsConfig,
+                                                       init_diffusion_tts)
+
+    dcfg = DiffusionTtsConfig(model_channels=64, num_layers=2,
+                              in_latent_channels=64, num_heads=4)
+    m = DiffusionTts(dcfg)
+    variables = init_diffusion_tts(m, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(3)
+    k, s_bucket = 8, 8
+    out_bucket = 8 * 4 * 24000 // 22050
+    ns = jnp.asarray(rng.integers(4, s_bucket + 1, (k,)), jnp.int32)
+    out_lens = ns * 4 * 24000 // 22050
+    lats = jnp.asarray(rng.standard_normal((k, s_bucket, 64)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((k, out_bucket, 100)), jnp.float32)
+    ts = jnp.asarray(np.full((k,), 600), jnp.int32)
+
+    @jax.jit
+    def step(v, la, xx):
+        pre = m.apply(v, la, ns, cond, out_lens, out_bucket,
+                      method=DiffusionTts.timestep_independent_bucketed)
+        return m.apply(v, xx, ts, precomputed_aligned_embeddings=pre,
+                       valid_len=out_lens)
+
+    base = np.asarray(step(variables, lats, x))
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        sharded = np.asarray(step(
+            variables, jax.device_put(lats, batch_sharding(mesh)),
+            jax.device_put(x, batch_sharding(mesh))))
+    np.testing.assert_allclose(sharded, base, rtol=5e-4, atol=5e-4)

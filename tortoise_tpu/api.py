@@ -18,6 +18,7 @@ TPU-native equivalent of the reference orchestrator
 from __future__ import annotations
 
 import functools
+import logging
 import warnings
 
 import jax
@@ -63,28 +64,41 @@ def pick_best_batch_size_for_device(device=None, kv_cache_dtype="bf16") -> int:
     # memory_stats() (e.g. tunneled/plugin backends return None)
     kind_hbm = {"TPU v5 lite": 16, "TPU v5e": 16, "TPU v4": 32,
                 "TPU v5": 95, "TPU v5p": 95, "TPU v6e": 32, "TPU v6 lite": 32}
-    hbm_gb = 0
+    hbm_gb, src, platform = 0, "unknown", "cpu"
     try:
         dev = device or jax.local_devices()[0]
+        platform = getattr(dev, "platform", "cpu")
         stats = dev.memory_stats()
         if stats:
             hbm_gb = stats["bytes_limit"] / 2 ** 30
+            src = "memory_stats"
         else:
             kind = getattr(dev, "device_kind", "")
             hbm_gb = next((v for k, v in kind_hbm.items()
                            if kind.startswith(k)), 0)
+            src = f"kind_table[{kind}]" if hbm_gb else f"unlisted[{kind}]"
     except Exception:
         pass
     mult = 2 if kv_cache_dtype in ("int8", jnp.int8) else 1
     if hbm_gb >= 30:
-        return 128 * mult
-    if hbm_gb >= 14:
-        return 64 * mult
-    if hbm_gb >= 7:
-        return 32 * mult
-    if hbm_gb > 0:
-        return 16 * mult
-    return 32  # unknown backend (e.g. CPU tests): the reference-parity default
+        b = 128 * mult
+    elif hbm_gb >= 14:
+        b = 64 * mult
+    elif hbm_gb >= 7:
+        b = 32 * mult
+    elif hbm_gb > 0:
+        b = 16 * mult
+    elif platform == "cpu":
+        b = 32  # CPU tests: the reference-parity default (reference api.py:172)
+    else:
+        # an accelerator we can't size (no memory_stats, unlisted kind):
+        # default CONSERVATIVE — B=16 bf16 fits any shipped >=8 GB part,
+        # while the old optimistic 32 would OOM an 8 GB chip at T~700
+        b = 16 * mult
+    logging.getLogger(__name__).info(
+        "autoregressive_batch_size=%d (hbm=%.1f GB via %s, kv=%s)",
+        b, hbm_gb, src, kv_cache_dtype)
+    return b
 
 
 def fix_autoregressive_output(codes: np.ndarray, stop_token: int,
@@ -149,9 +163,14 @@ class TextToSpeech:
         # crash other accelerator backends; CPU would run it interpreted.
         # Explicit True with half=False still works: the kernel casts its
         # inputs to bf16 (its only compute dtype) at the call boundary.
+        # An explicitly requested f32 KV cache keeps the XLA scan by
+        # default: the kernel's only compute dtype is bf16, and silently
+        # truncating a precision-motivated f32 cache would betray the knob
+        # (pass gpt_fused_step=True to accept the bf16 attention math).
         if gpt_fused_step is None:
             gpt_fused_step = (jax.devices()[0].platform == "tpu"
-                              and mesh is None and half)
+                              and mesh is None and half
+                              and self.kv_cache_dtype != jnp.float32)
         self.gpt_fused_step = gpt_fused_step and mesh is None
         # Pallas flash attention for the diffusion stack (ops/attn_pallas.py):
         # default on accelerators, off on CPU (there it would run interpreted)
@@ -412,7 +431,17 @@ class TextToSpeech:
         return auto_latent, diffusion_latent
 
     def get_random_conditioning_latents(self, seed: int = 0):
-        """(reference api.py:301-309)."""
+        """(reference api.py:301-309). Returns np.ndarrays (the reference's
+        public contract — safe to pickle/mutate); ``tts()`` uses the
+        device-resident ``_random_conditioning_latents`` internally to avoid
+        two blocking tunnel fetches per call."""
+        import numpy as np
+
+        a, d = self._random_conditioning_latents(seed)
+        return np.asarray(a), np.asarray(d)
+
+    def _random_conditioning_latents(self, seed: int = 0):
+        """Device-array twin of ``get_random_conditioning_latents``."""
         if self.rlg_auto is None:
             d = self.ar_cfg.model_dim
             self.rlg_auto = RandomLatentConverter(d)
@@ -470,7 +499,8 @@ class TextToSpeech:
 
     def do_spectrogram_diffusion(self, latents, diffusion_conditioning, *,
                                  diffusion_iterations, cond_free, cond_free_k,
-                                 temperature, rng, sampler="p"):
+                                 temperature, rng, sampler="p",
+                                 valid_latents=None):
         """Latents (1, n, D) -> denormalized mel (1, 100, out_len)
         (reference api.py:117-130). ``sampler``: "p" (ancestral, reference
         default) or "ddim" (reference diffusion.py:624-780, eta=0).
@@ -478,35 +508,58 @@ class TextToSpeech:
         Lengths are bucketed: latents pad to a multiple of LATENT_BUCKET and
         the masked diffusion model guarantees the valid region matches an
         exact-length run, so each (bucket, steps) pair compiles exactly once
-        instead of once per sentence length."""
+        instead of once per sentence length.
+
+        ``valid_latents``: optional (B,) per-row true latent counts — the
+        k-winner fan-out (SURVEY §2.5) runs ALL re-ranked winners through
+        one batched program (replacing the reference's per-candidate loop,
+        api.py:538-560) and, under a mesh, shards the diffusion batch over
+        ``dp``. With it set, the return is the UNtrimmed (B, 100,
+        out_bucket) mel; row b is exact up to its own out_len
+        (valid_latents[b] * 4 * 24000 // 22050) and zero-padded beyond."""
+        batched = valid_latents is not None
         n = latents.shape[1]
         n_bucket = -(-n // self.LATENT_BUCKET) * self.LATENT_BUCKET
-        out_len = n * 4 * 24000 // 22050
         out_bucket = n_bucket * 4 * 24000 // 22050
+        if batched:
+            n_vec = jnp.asarray(valid_latents, jnp.int32)
+            out_len = n_vec * 4 * 24000 // 22050
+        else:
+            out_len = n * 4 * 24000 // 22050
+            n_vec = jnp.asarray(n)
         # device-side pad: latents may already live on device (tts keeps the
         # re-extracted latents there to avoid a host round-trip)
         lat_padded = jnp.pad(jnp.asarray(latents), ((0, 0), (0, n_bucket - n), (0, 0)))
+        rng, r = jax.random.split(rng)
+        noise = jax.random.normal(r, (latents.shape[0], out_bucket, 100)) * temperature
+        if (self._batch_sharding is not None
+                and latents.shape[0] % self.mesh.shape.get("dp", 1) == 0):
+            # per-candidate diffusion shards over dp; GSPMD propagates the
+            # batch sharding through timestep_independent, the CFG-doubled
+            # batch, and the whole sampling scan
+            lat_padded = jax.device_put(lat_padded, self._batch_sharding)
+            noise = jax.device_put(noise, self._batch_sharding)
         pre = self._timestep_independent_bucketed(
-            lat_padded, jnp.asarray(n),
+            lat_padded, n_vec,
             jnp.asarray(diffusion_conditioning), jnp.asarray(out_len), out_bucket)
         if cond_free:
             uncond = jnp.broadcast_to(
                 self.diffusion_vars["params"]["unconditioned_embedding"].astype(pre.dtype),
                 pre.shape)
-            mask = (jnp.arange(out_bucket) < out_len)[None, :, None]
+            mask = jnp.arange(out_bucket)[None, :, None] < \
+                jnp.reshape(jnp.asarray(out_len), (-1, 1, 1))
             pre_cond = jnp.concatenate([pre, uncond * mask.astype(uncond.dtype)],
                                        axis=0)
         else:
             pre_cond = pre
-        rng, r = jax.random.split(rng)
-        noise = jax.random.normal(r, (latents.shape[0], out_bucket, 100)) * temperature
         loop = self._diffusion_loop(diffusion_iterations, cond_free, cond_free_k,
                                     sampler)
         rel_biases = self._rel_biases(self.diffusion_vars, out_bucket)
         mel = loop(self.diffusion_vars, (pre_cond, rel_biases), noise, rng,
                    jnp.asarray(out_len))
         mel = mel_ops.denormalize_tacotron_mel(mel)
-        return jnp.swapaxes(mel, 1, 2)[:, :, :out_len]
+        mel = jnp.swapaxes(mel, 1, 2)
+        return mel if batched else mel[:, :, :out_len]
 
     def _vocode_clip(self, mel_btc, rng) -> np.ndarray:
         """Mel (1, F, 100) -> wav (1, F*256, 1) with BUCKETED compile shapes.
@@ -597,7 +650,7 @@ class TextToSpeech:
                 auto_conditioning, diffusion_conditioning = conditioning_latents
             else:
                 auto_conditioning, diffusion_conditioning = \
-                    self.get_random_conditioning_latents(det_seed)
+                    self._random_conditioning_latents(det_seed)
             # keep latents wherever they are (device arrays from the RLG
             # path): forcing np here costs two blocking tunnel fetches
             auto_conditioning = jnp.asarray(auto_conditioning)
@@ -662,8 +715,16 @@ class TextToSpeech:
             with timer.stage("clvp_rerank"):
                 # CLVP mean-pools over the whole text: feed it the reference's
                 # exact input (api-level single pad), not the bucketed prompt
+                codes_dev = jnp.asarray(fixed)
+                if (self._batch_sharding is not None
+                        and fixed.shape[0] % self.mesh.shape.get("dp", 1) == 0):
+                    # CLVP scoring as ONE dp-sharded matmul over the whole
+                    # candidate set (SURVEY §2.5): the text latent replicates,
+                    # the speech-candidate batch shards, and the similarity
+                    # row gathers k winners instead of every candidate
+                    codes_dev = jax.device_put(codes_dev, self._batch_sharding)
                 clvp_scores = np.asarray(self._clvp_scores(
-                    jnp.asarray(text_tokens_unbucketed), jnp.asarray(fixed)))
+                    jnp.asarray(text_tokens_unbucketed), codes_dev))
         if auto_conds is not None and cvvp_amount > 0:
             if self.cvvp is None:
                 self.load_cvvp()
@@ -691,10 +752,11 @@ class TextToSpeech:
         if verbose:
             print("Transforming autoregressive outputs into audio..")
         wav_candidates = []
-        for b in range(best_results.shape[0]):
-            codes_b = best_results[b]
+        if best_results.shape[0] == 1:
+            # single winner (the default k): exact-trimmed single-clip path
+            codes_b = best_results[0]
             n = calm_token_trim_length(codes_b)
-            latents = best_latents[b:b + 1, :n].astype(jnp.float32)
+            latents = best_latents[0:1, :n].astype(jnp.float32)
             rng, r1, r2 = jax.random.split(rng, 3)
             with timer.stage("diffusion"):
                 mel = self.do_spectrogram_diffusion(
@@ -707,6 +769,33 @@ class TextToSpeech:
                 mel_btc = jnp.swapaxes(mel, 1, 2)  # (1, F, 100)
                 wav = self._vocode_clip(mel_btc, r2)  # (1, S, 1)
             wav_candidates.append(wav[:, :, 0][:, None, :])
+        else:
+            # k-winner fan-out: ONE batched, masked diffusion program over
+            # all winners (sharded over dp under a mesh) instead of the
+            # reference's per-candidate Python loop (api.py:538-560). Rows
+            # pad to the longest winner's bucket; each row is exact up to
+            # its own valid length (masked-equality, test_diffusion_
+            # bucketing.py) and trimmed before vocoding.
+            trims = [calm_token_trim_length(best_results[b])
+                     for b in range(best_results.shape[0])]
+            max_n = max(trims)
+            latents = best_latents[:, :max_n].astype(jnp.float32)
+            rng, r1, r2 = jax.random.split(rng, 3)
+            with timer.stage("diffusion"):
+                mels = self.do_spectrogram_diffusion(
+                    latents, diffusion_conditioning,
+                    diffusion_iterations=diffusion_iterations, cond_free=cond_free,
+                    cond_free_k=cond_free_k, temperature=diffusion_temperature,
+                    rng=r1, sampler=diffusion_sampler,
+                    valid_latents=np.asarray(trims))
+                mels.block_until_ready()
+            with timer.stage("vocoder"):
+                for b, n in enumerate(trims):
+                    out_len = n * 4 * 24000 // 22050
+                    mel_btc = jnp.swapaxes(mels[b:b + 1, :, :out_len], 1, 2)
+                    r2, r2b = jax.random.split(r2)
+                    wav = self._vocode_clip(mel_btc, r2b)  # (1, S, 1)
+                    wav_candidates.append(wav[:, :, 0][:, None, :])
 
         def potentially_redact(clip, text):
             if self.enable_redaction and self.aligner is not None:

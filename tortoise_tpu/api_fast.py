@@ -87,8 +87,20 @@ class TextToSpeechFast:
                  tokenizer_basic=False, dtype=jnp.bfloat16, allow_random_weights=True,
                  ar_config: UnifiedVoiceConfig | None = None,
                  latent_bucket: int = 64, text_bucket: int = 32,
-                 gpt_weights="bf16", gpt_fused_step: bool | None = None):
+                 gpt_weights="bf16", gpt_fused_step: bool | None = None,
+                 mesh=None):
         self.dtype = dtype
+        # Optional jax.sharding.Mesh: ``tts_batch``'s utterance batch shards
+        # over the mesh's dp axis (BASELINE config 5 is the natural dp
+        # workload — N independent utterances through one compiled program;
+        # SURVEY §2.5 batch parallelism). ``tts``/``tts_stream`` stay
+        # single-candidate and ignore the mesh.
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from tortoise_tpu.parallel.mesh import batch_sharding as _bs
+
+            self._batch_sharding = _bs(mesh)
         # whole-step fused Pallas decode kernel (ops/decode_step_pallas.py);
         # bf16 or int8 GPT weights (the int8 stack streams half the bytes).
         # Default ON on TPU only (a Mosaic kernel would crash other
@@ -414,6 +426,11 @@ class TextToSpeechFast:
                 cond = np.repeat(cond, n, 0)
 
         max_mel_tokens = self._clamp_mel_tokens(max_mel_tokens)
+        if batch_sharding is None and self._batch_sharding is not None \
+                and n % self.mesh.shape.get("dp", 1) == 0:
+            # constructor mesh: shard the utterance batch over dp (the
+            # sampler falls back to the XLA stack for sharded decode)
+            batch_sharding = self._batch_sharding
         # Default OFF here, unlike tts/tts_stream: the composed B=64 A/B
         # (tools/bench_fused_ab.py, v5e) has the fused kernel LOSING at
         # batch-serving scale (p50 11.56 -> 14.35 s) even though the chained

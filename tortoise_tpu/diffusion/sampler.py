@@ -65,7 +65,12 @@ def _model_out(model_fn, variables, x, t_orig, pre_cond, cfg: SamplerConfig, cfk
     if cfg.cond_free:
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t_orig, t_orig], axis=0)
-        out = model_fn(variables, x2, t2, pre_cond, True, valid_len)
+        vl2 = valid_len
+        if valid_len is not None and jnp.ndim(valid_len) == 1:
+            # per-element lengths (batched k-winner fan-out) must cover the
+            # CFG-doubled [cond ; uncond] batch
+            vl2 = jnp.concatenate([valid_len, valid_len], axis=0)
+        out = model_fn(variables, x2, t2, pre_cond, True, vl2)
         c = out.shape[-1] // 2
         eps_c, var_c = out[:b, :, :c], out[:b, :, c:]
         eps_u = out[b:, :, :c]

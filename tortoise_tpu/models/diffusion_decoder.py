@@ -226,14 +226,17 @@ class DiffusionTts(nn.Module):
                                       out_bucket: int):
         """Bucketed/masked variant of ``timestep_independent`` (latent path).
 
-        latents: (B, S_bucket, D) zero-padded; n_latents: true count (scalar);
-        out_len: true output frames (scalar); out_bucket: static padded
-        output length. The first ``out_len`` frames equal an exact-length
-        run; the rest are zero.
+        latents: (B, S_bucket, D) zero-padded; n_latents: true count (scalar
+        or (B,) — per-element lengths batch k re-ranked winners through ONE
+        call/program, SURVEY §2.5 diffusion fan-out); out_len: true output
+        frames (scalar or (B,)); out_bucket: static padded output length.
+        The first ``out_len[b]`` frames of row b equal an exact-length run;
+        the rest are zero.
         """
         b, s_bucket, _ = latents.shape
-        lat_mask = jnp.broadcast_to(
-            (jnp.arange(s_bucket) < n_latents)[None, :], (b, s_bucket))
+        n_latents = jnp.broadcast_to(jnp.reshape(n_latents, (-1,)), (b,))
+        out_len = jnp.broadcast_to(jnp.reshape(out_len, (-1,)), (b,))
+        lat_mask = jnp.arange(s_bucket)[None, :] < n_latents[:, None]
         latents = latents * lat_mask[:, :, None].astype(latents.dtype)
         code_emb = self.latent_conv(latents)
         for blk in self.latent_attn:
@@ -242,13 +245,14 @@ class DiffusionTts(nn.Module):
         code_emb = self.code_norm(code_emb, mask=lat_mask) \
             * (1 + cond_scale[:, None]) + cond_shift[:, None]
         code_emb = code_emb * lat_mask[:, :, None].astype(code_emb.dtype)
-        # dynamic nearest interpolation: frame i < out_len reads latent
-        # floor(i * n / out_len) — identical to F.interpolate(..., 'nearest')
-        # at the exact length
+        # dynamic nearest interpolation: frame i < out_len[b] reads latent
+        # floor(i * n[b] / out_len[b]) — identical to
+        # F.interpolate(..., 'nearest') at the exact length
         i = jnp.arange(out_bucket)
-        idx = jnp.clip((i * n_latents) // jnp.maximum(out_len, 1), 0, s_bucket - 1)
-        expanded = jnp.take(code_emb, idx, axis=1)
-        out_mask = (i < out_len)[None, :, None]
+        idx = jnp.clip((i[None, :] * n_latents[:, None])
+                       // jnp.maximum(out_len[:, None], 1), 0, s_bucket - 1)
+        expanded = jnp.take_along_axis(code_emb, idx[:, :, None], axis=1)
+        out_mask = (i[None, :] < out_len[:, None])[:, :, None]
         return expanded * out_mask.astype(expanded.dtype)
 
     # ------------------------------------------------------------------
