@@ -150,16 +150,23 @@ def test_readme_numbers_match_bench_artifact():
     """Every annotated number in README.md's performance table must quote
     the committed bench artifact (tools/check_readme_sync.py; VERDICT r3
     weak #2: the round-2 sync held for one commit and drifted same-day).
-    Skips when no artifact exists yet (fresh checkout before any bench)."""
-    import glob
+    A README with annotated numbers but NO committed BENCH_SELF.json is a
+    FAILURE, not a skip (VERDICT r4 task 2): it means the quoted numbers
+    are provably unanchored."""
+    import re
     import subprocess
     import sys
 
-    del glob
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench = os.path.join(repo, "BENCH_SELF.json")
     if not os.path.exists(bench):
-        pytest.skip("no BENCH_SELF.json in checkout")
+        with open(os.path.join(repo, "README.md")) as f:
+            annotated = re.findall(r"<!--\s*bench:", f.read())
+        assert not annotated, (
+            f"README.md has {len(annotated)} bench-annotated rows but no "
+            "BENCH_SELF.json is committed — run `python bench.py > "
+            "/tmp/b.json` on hardware and commit it as BENCH_SELF.json")
+        pytest.skip("no annotated README rows and no BENCH_SELF.json")
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "check_readme_sync.py"),
          "--bench", bench],
