@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                         default=None,
                         help="whole-step fused Pallas decode kernel (bf16 "
                              "cache/weights only; default: on for TPU)")
+    parser.add_argument("--mesh", type=str, default=None, metavar="DP[xTP]",
+                        help="shard over a device mesh, e.g. --mesh 8 (dp=8) "
+                             "or --mesh 4x2 (dp=4, tp=2): candidate batch, "
+                             "CLVP scoring and diffusion fan-out over dp, "
+                             "Megatron tensor-parallel GPT over tp")
     for flag, typ in [("--num-autoregressive-samples", int), ("--temperature", float),
                       ("--length-penalty", float), ("--repetition-penalty", float),
                       ("--top-p", float), ("--max-mel-tokens", int),
@@ -107,11 +112,19 @@ def main(argv=None):
         "diffusion_temperature": args.diffusion_temperature,
     }.items() if v is not None}
 
+    mesh = None
+    if args.mesh:
+        from tortoise_tpu.parallel.mesh import make_mesh
+
+        dp, _, tp = args.mesh.lower().partition("x")
+        mesh = make_mesh(dp=int(dp), tp=int(tp) if tp else 1)
+
     tts = TextToSpeech(models_dir=args.models_dir,
                        autoregressive_batch_size=args.batch_size,
                        kv_cache_dtype=args.kv_cache_dtype,
                        gpt_weights=args.gpt_weights,
                        gpt_fused_step=args.gpt_fused_step,
+                       mesh=mesh,
                        enable_redaction=not args.disable_redaction and "[" in text)
 
     regenerate = [int(x) for x in args.regenerate.split(",")] if args.regenerate else None
