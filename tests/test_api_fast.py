@@ -304,3 +304,19 @@ def test_tts_batch_constructor_mesh(tts):
     odd = mtts.tts_batch(texts[:7], use_deterministic_seed=4,
                          max_mel_tokens=32, text_bucket=16, verbose=False)
     assert len(odd) == 7
+
+
+def test_tts_per_call_fused_override(tts):
+    """``tts(gpt_fused_step=...)`` overrides the constructor default per
+    call (same contract as ``tts_batch``): OFF on a fused-ON instance rides
+    the XLA scan, and ON without a prepared stack degrades to OFF instead
+    of crashing (``_ar_stacked is None`` on the ctor-OFF fixture)."""
+    wav = tts.tts("Override test sentence.", use_deterministic_seed=3,
+                  max_mel_tokens=32, gpt_fused_step=True, verbose=False)
+    assert np.isfinite(wav).all()
+    # ctor-OFF + per-call False == default path, bitwise equal
+    wav_off = tts.tts("Override test sentence.", use_deterministic_seed=3,
+                      max_mel_tokens=32, gpt_fused_step=False, verbose=False)
+    wav_def = tts.tts("Override test sentence.", use_deterministic_seed=3,
+                      max_mel_tokens=32, verbose=False)
+    np.testing.assert_array_equal(wav_off, wav_def)

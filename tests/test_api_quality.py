@@ -270,3 +270,40 @@ def test_gpt_fused_step_knob_quality_e2e():
                      diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
                      use_deterministic_seed=19, verbose=False)
     assert np.isfinite(wav8).all() and np.abs(wav8).max() <= 1.0
+
+
+@pytest.mark.slow
+def test_gpt_weights_int8_decode_quality():
+    """gpt_weights="int8_decode": exact-precision tree for prefill /
+    re-extraction plus an int8-quantized stack for the fused decode kernel
+    only. The stack is quantized from the PRE-upload host tree (no device
+    round trip — VERDICT r4-era load cost) and the model config stays
+    unquantized (QuantDense off)."""
+    tiny = dict(
+        autoregressive_batch_size=2, half=False, gpt_fused_step=True,
+        enable_redaction=False,
+        ar_config=UnifiedVoiceConfig(layers=2, model_dim=128, heads=4,
+                                     max_text_tokens=60, max_mel_tokens=80),
+        diffusion_config=DiffusionTtsConfig(model_channels=128, num_layers=2,
+                                            in_latent_channels=128, num_heads=4),
+        clvp_config=CLVPConfig(dim_text=128, dim_speech=128, dim_latent=128,
+                               text_enc_depth=2, text_heads=4,
+                               speech_enc_depth=2, speech_heads=4))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts_d = TextToSpeech(gpt_weights="int8_decode", **tiny)
+    assert tts_d.ar_cfg.quant_weights is False     # bf16/f32 prefill tree
+    assert tts_d._ar_stacked is not None
+    assert tts_d._ar_stacked["wqkv"].dtype == jnp.int8
+    wav = tts_d.tts("Decode-only int8 tiny test.", num_autoregressive_samples=2,
+                    diffusion_iterations=2, cond_free=False, max_mel_tokens=24,
+                    use_deterministic_seed=19, verbose=False)
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+
+    # bf16 serving dtype: the quantized stack's qscale must stay f32 while
+    # the unquantized stacked leaves follow the serving dtype
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts_b = TextToSpeech(gpt_weights="int8_decode", **{**tiny, "half": True})
+    assert tts_b._ar_stacked["wqkv"].dtype == jnp.int8
+    assert tts_b._ar_stacked["sqkv"].dtype == jnp.float32

@@ -26,4 +26,6 @@ def enable_compilation_cache(path: str | None = None) -> None:
                                 "tortoise_tpu", "xla_cache")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist EVERYTHING: a tunneled-TPU compile round trip is ~0.5 s even
+    # for per-leaf utility programs, and hundreds of those run at model load
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -213,12 +213,19 @@ class TextToSpeech:
         self._models_dir = models_dir
         self._allow_random = allow_random_weights
 
-        def _load(name, init_fn, quantize_gpt=False):
+        host_trees = {}  # name -> pre-cast host tree (only when asked for)
+
+        def _load(name, init_fn, quantize_gpt=False, keep_host=False):
             p, source = weights_lib.get_params(name, init_fn, models_dir,
                                                allow_random=allow_random_weights)
             p = p.get("params", p) if isinstance(p, dict) and "params" in p else p
             if quantize_gpt:
                 p = weights_lib.quantize_gpt_weights(p)
+            if keep_host:
+                # the int8_decode stack quantizes from this host copy:
+                # pulling the uploaded tree back (device_get) costs ~50 s
+                # over a tunneled TPU for the 0.84 GB bf16 GPT
+                host_trees[name] = p
             if self.dtype == jnp.bfloat16:
                 p = weights_lib.cast_for_inference(p, jnp.bfloat16)
             # resident on device: host-numpy jit args would re-transfer per call
@@ -233,7 +240,8 @@ class TextToSpeech:
         self.autoregressive = UnifiedVoice(cfg, dtype=self.dtype)
         self.ar_vars, self.ar_source = _load(
             "autoregressive", lambda: init_unified_voice(self.autoregressive, 0),
-            quantize_gpt=cfg.quant_weights)
+            quantize_gpt=cfg.quant_weights,
+            keep_host=self.gpt_fused_step and gpt_weights == "int8_decode")
         if self._cache_sharding is not None:
             from tortoise_tpu.parallel.sharding import shard_params
 
@@ -253,8 +261,12 @@ class TextToSpeech:
                 # the reference's DeepSpeed quantized kernel injection
                 # (autoregressive.py:379-392): quantized inference kernels
                 # under an unquantized checkpoint.
+                # quantize from the pre-cast host tree (kept by _load):
+                # scales computed on f32 weights, no device round trip
                 qp = weights_lib.quantize_gpt_weights(
-                    jax.device_get(self.ar_vars["params"]))
+                    host_trees.pop("autoregressive"))
+                qp = weights_lib.cast_for_inference(qp, jnp.bfloat16) \
+                    if self.dtype == jnp.bfloat16 else qp
                 self._ar_stacked = stack_fused_params(
                     jax.device_put({"params": qp}))
             else:

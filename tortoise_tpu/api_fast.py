@@ -356,17 +356,22 @@ class TextToSpeechFast:
     def tts(self, text, voice_samples=None, conditioning_latents=None, k=1,
             verbose=True, use_deterministic_seed=None, return_deterministic_state=False,
             temperature=0.8, repetition_penalty=2.0, top_p=0.8, top_k=50,
-            max_mel_tokens=500, **unused_kwargs) -> np.ndarray:
+            max_mel_tokens=500, gpt_fused_step: bool | None = None,
+            **unused_kwargs) -> np.ndarray:
         """Synthesize one clip; returns float32 (1, 1, S) at 24 kHz
-        (reference api_fast.py:421-503)."""
+        (reference api_fast.py:421-503). ``gpt_fused_step`` overrides the
+        constructor default per call (same contract as ``tts_batch``), so
+        one resident instance can A/B both decode paths."""
         det_seed, text_tokens, cond = self._prepare(
             text, voice_samples, conditioning_latents, use_deterministic_seed)
 
         max_mel_tokens = self._clamp_mel_tokens(max_mel_tokens)
+        fused = (bool(gpt_fused_step) if gpt_fused_step is not None
+                 else self.gpt_fused_step) and self._ar_stacked is not None
         settings = SamplerSettings(temperature=temperature, top_k=top_k, top_p=top_p,
                                    repetition_penalty=repetition_penalty,
                                    max_generate=max_mel_tokens,
-                                   fused_step=self.gpt_fused_step,
+                                   fused_step=fused,
                                    emit_latents=False)  # _finish_wav re-extracts
         rng = jax.random.PRNGKey(det_seed)
         codes, _ = sample_speech(self.autoregressive, self.ar_vars,

@@ -117,9 +117,22 @@ def get_params(name: str, init_fn, models_dir: str | None = None,
 def cast_for_inference(params: dict, dtype) -> dict:
     """Cast float params to the serving dtype (bf16), keeping normalization
     scales/biases in float32. Halves HBM residency, host->device transfer and
-    the per-decode-step weight reads."""
+    the per-decode-step weight reads.
+
+    Host numpy leaves cast host-side via ml_dtypes: ``jnp.asarray`` per leaf
+    would dispatch one ``convert_element_type`` program per (shape, dtype) —
+    ~0.5 s compile each over a tunneled TPU, below the persistent-cache
+    threshold, hundreds of leaves per model — measured as the bulk of
+    TextToSpeech instantiation time."""
     import jax
     import jax.numpy as jnp
+
+    if dtype == jnp.bfloat16:
+        import ml_dtypes
+
+        np_dtype = np.dtype(ml_dtypes.bfloat16)
+    else:
+        np_dtype = np.dtype(dtype)
 
     def cast(path, leaf):
         name = "/".join(getattr(p, "key", str(p)) for p in path)
@@ -127,6 +140,8 @@ def cast_for_inference(params: dict, dtype) -> dict:
             return leaf
         if any(k in name for k in ("Norm", "norm", "ln_", "qscale")):
             return leaf
+        if isinstance(leaf, np.ndarray):
+            return leaf.astype(np_dtype)
         return jnp.asarray(leaf, dtype)
 
     return jax.tree_util.tree_map_with_path(cast, params)
