@@ -10,7 +10,7 @@ Prints the json line {"metric", "value", "unit", "vs_baseline", "detail"}
 REPEATEDLY: once as soon as the headline measurement exists, then again
 after every completed section (the driver takes the LAST parseable line, so
 a timeout can only truncate sections, never erase the headline). A
-wall-clock budget (``BENCH_BUDGET_S`` env or ``--budget``, default 1500 s)
+wall-clock budget (``BENCH_BUDGET_S`` env or ``--budget``, default 2200 s)
 skips remaining optional sections when exceeded; skips are recorded in
 ``detail.sections_skipped``.
 
