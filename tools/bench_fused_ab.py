@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--skip-quality", action="store_true")
     ap.add_argument("--skip-batch", action="store_true")
     ap.add_argument("--quality-runs", type=int, default=3)
+    ap.add_argument("--interleaved-batch", action="store_true",
+                    help="ABBA-ordered tts_batch A/B on one resident "
+                         "instance (cancels drift); --runs pairs per config")
     args = ap.parse_args()
 
     import warnings
@@ -63,6 +66,36 @@ def main():
     from tortoise_tpu.api_fast import TextToSpeechFast
 
     out = {"device": str(jax.devices()[0]), "ar_tokens": args.tokens}
+
+    if args.interleaved_batch:
+        # ABBA-ordered A/B on ONE resident instance via the per-call
+        # override: block-ordered measurements of tts_batch sample the
+        # box's ±10-15% drift, not the kernel (docs/ROOFLINE.md
+        # "statistical TIE" revision) — this is the methodology that
+        # settles default questions at the batch-serving point.
+        tts = TextToSpeechFast(dtype=jnp.bfloat16, latent_bucket=64)
+        texts = [f"{SENTENCE} Utterance number {i}." for i in range(args.batch)]
+
+        def serve(fused, seed):
+            t0 = time.perf_counter()
+            tts.tts_batch(texts, use_deterministic_seed=seed,
+                          max_mel_tokens=args.tokens,
+                          gpt_fused_step=fused, verbose=False)
+            return time.perf_counter() - t0
+
+        serve(False, 0), serve(True, 0)  # warm both programs
+        walls = {"fused_off": [], "fused_on": []}
+        order = [False, True, True, False] * max(1, args.runs // 2)
+        for i, f in enumerate(order):
+            w = serve(f, i + 1)
+            walls["fused_on" if f else "fused_off"].append(w)
+            print(f"run {i} fused={f}: {w:.3f} s", file=sys.stderr)
+        out[f"interleaved_batch{args.batch}"] = {
+            k: {"p50_s": round(statistics.median(v), 3),
+                "all_s": [round(w, 3) for w in v]}
+            for k, v in walls.items()}
+        print(json.dumps(out))
+        return
 
     for gw in ("bf16", "int8"):
         b1_row = "fast_b1" if gw == "bf16" else "fast_b1_int8w"

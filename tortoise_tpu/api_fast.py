@@ -436,11 +436,11 @@ class TextToSpeechFast:
             # constructor mesh: shard the utterance batch over dp (the
             # sampler falls back to the XLA stack for sharded decode)
             batch_sharding = self._batch_sharding
-        # Default OFF here, unlike tts/tts_stream: the composed B=64 A/B
-        # (tools/bench_fused_ab.py, v5e) has the fused kernel LOSING at
-        # batch-serving scale (p50 11.56 -> 14.35 s) even though the chained
-        # -step microbench wins — the XLA stack overlaps the weight stream
-        # across the big batch better. Explicit True opts in.
+        # Default OFF here, unlike tts/tts_stream: the interleaved composed
+        # B=64 A/B (docs/ROOFLINE.md "statistical TIE" revision, v5e) puts
+        # the fused kernel within noise of the XLA stack at batch-serving
+        # scale — the weight stream it optimizes is ~19% of HBM traffic at
+        # B=64 — so the simpler path stays default. Explicit True opts in.
         fused = (bool(gpt_fused_step) if gpt_fused_step is not None
                  else False) and self._ar_stacked is not None
         settings = SamplerSettings(temperature=temperature, top_k=top_k,
