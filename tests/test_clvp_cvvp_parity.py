@@ -102,3 +102,73 @@ def test_cvvp_similarity_parity(cvvp_models):
     got = np.asarray(ours.apply(variables, jnp.asarray(mel_cond.transpose(0, 2, 1)),
                                 jnp.asarray(codes)))
     np.testing.assert_allclose(got, theirs, rtol=1e-3, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def clvp_fallback_models():
+    """The non-xformers CLVP fallback (reference clvp.py:84-97): plain
+    Transformer stacks (reference transformer.py:182-219) + learned
+    absolute position tables."""
+    import torch
+
+    ref_mod = load_ref_module("tortoise.models.clvp")
+    torch.manual_seed(0)
+    ref = ref_mod.CLVP(dim_text=128, dim_speech=128, dim_latent=128,
+                       num_text_tokens=256, text_enc_depth=3, text_heads=4,
+                       text_seq_len=40, num_speech_tokens=512,
+                       speech_enc_depth=3, speech_heads=4, speech_seq_len=60,
+                       use_xformers=False).eval()
+    cfg = CLVPConfig(dim_text=128, dim_speech=128, dim_latent=128,
+                     text_enc_depth=3, text_heads=4, num_speech_tokens=512,
+                     speech_enc_depth=3, speech_heads=4,
+                     use_xformers=False, text_seq_len=40)
+    ours = CLVP(cfg)
+    return ref, ours, {"params": clvp_params(ref.state_dict())}
+
+
+def test_clvp_fallback_similarity_parity(clvp_fallback_models):
+    import torch
+
+    ref, ours, variables = clvp_fallback_models
+    rng = np.random.default_rng(4)
+    text = rng.integers(0, 256, (3, 14)).astype(np.int64)
+    speech = rng.integers(0, 512, (3, 28)).astype(np.int64)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(text), torch.from_numpy(speech),
+                     return_loss=False).numpy()
+    got = np.asarray(ours.apply(variables, jnp.asarray(text), jnp.asarray(speech)))
+    np.testing.assert_allclose(got, theirs, rtol=1e-3, atol=1e-3)
+
+
+def test_clvp_fallback_loss_parity(clvp_fallback_models):
+    import torch
+
+    ref, ours, variables = clvp_fallback_models
+    rng = np.random.default_rng(5)
+    text = rng.integers(0, 256, (4, 10)).astype(np.int64)
+    speech = rng.integers(0, 512, (4, 20)).astype(np.int64)
+    with torch.no_grad():
+        theirs = float(ref(torch.from_numpy(text), torch.from_numpy(speech),
+                           return_loss=True))
+    got = float(ours.apply(variables, jnp.asarray(text), jnp.asarray(speech),
+                           return_loss=True))
+    assert got == pytest.approx(theirs, rel=1e-3, abs=1e-4)
+
+
+def test_layerscale_init_tiers():
+    """CaiT init epsilon switches at depth 18 and 24 (reference
+    transformer.py:81-87); verify a deep init picks the right tier."""
+    import jax
+
+    from tortoise_tpu.models.simple_transformer import (SimpleTransformer,
+                                                        layerscale_init)
+
+    assert layerscale_init(18) == 0.1
+    assert layerscale_init(19) == 1e-5
+    assert layerscale_init(24) == 1e-5
+    assert layerscale_init(25) == 1e-6
+    m = SimpleTransformer(dim=16, depth=26, heads=2, dim_head=8)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)))["params"]
+    assert float(p["block_0"]["attn_scale"][0]) == pytest.approx(0.1)
+    assert float(p["block_18"]["ff_scale"][0]) == pytest.approx(1e-5)
+    assert float(p["block_25"]["attn_scale"][0]) == pytest.approx(1e-6)

@@ -231,23 +231,67 @@ def xtransformer_encoder_params(sd, prefix: str, depth: int, wrapped: bool = Tru
     return {"layers_scan": stacked, "final_norm": _layernorm(sd, f"{prefix}.norm")}
 
 
+def simple_transformer_params(sd, prefix: str, depth: int) -> dict:
+    """reference fallback Transformer (transformer.py:182-219) ->
+    models.simple_transformer.SimpleTransformer params. Reference layout per
+    layer i: ``{prefix}.layers.layers.{i}.{0,1}`` = LayerScale(PreNorm(fn))
+    for attention (0) and GEGLU feed-forward (1)."""
+    out = {}
+    for i in range(depth):
+        a = f"{prefix}.layers.layers.{i}.0"
+        f = f"{prefix}.layers.layers.{i}.1"
+        out[f"block_{i}"] = {
+            "attn_scale": t2n(sd[f"{a}.scale"]).reshape(-1),
+            "ff_scale": t2n(sd[f"{f}.scale"]).reshape(-1),
+            "attn_norm": {"scale": t2n(sd[f"{a}.fn.norm.weight"]),
+                          "bias": t2n(sd[f"{a}.fn.norm.bias"])},
+            "ff_norm": {"scale": t2n(sd[f"{f}.fn.norm.weight"]),
+                        "bias": t2n(sd[f"{f}.fn.norm.bias"])},
+            "attn": {"to_qkv": {"kernel": dense_kernel(sd[f"{a}.fn.fn.to_qkv.weight"])},
+                     "to_out": {"kernel": dense_kernel(sd[f"{a}.fn.fn.to_out.0.weight"]),
+                                "bias": t2n(sd[f"{a}.fn.fn.to_out.0.bias"])}},
+            "ff": {"ff_in": {"kernel": dense_kernel(sd[f"{f}.fn.fn.net.0.weight"]),
+                             "bias": t2n(sd[f"{f}.fn.fn.net.0.bias"])},
+                   "ff_out": {"kernel": dense_kernel(sd[f"{f}.fn.fn.net.3.weight"]),
+                              "bias": t2n(sd[f"{f}.fn.fn.net.3.bias"])}},
+        }
+    return out
+
+
 def clvp_params(sd) -> dict:
-    """reference CLVP (use_xformers=True) -> models.clvp.CLVP params."""
-    depth_t = max(int(k.split(".")[4]) for k in sd
-                  if k.startswith("text_transformer.transformer.attn_layers.layers.")) // 2 + 1
-    depth_s = max(int(k.split(".")[4]) for k in sd
-                  if k.startswith("speech_transformer.transformer.attn_layers.layers.")) // 2 + 1
-    return {
+    """reference CLVP -> models.clvp.CLVP params (both the shipped
+    use_xformers=True layout and the plain-Transformer fallback,
+    reference clvp.py:84-97)."""
+    fallback = any(k.startswith("text_transformer.layers.layers.") for k in sd)
+    if fallback:
+        depth_t = max(int(k.split(".")[3]) for k in sd
+                      if k.startswith("text_transformer.layers.layers.")) + 1
+        depth_s = max(int(k.split(".")[3]) for k in sd
+                      if k.startswith("speech_transformer.layers.layers.")) + 1
+        enc_t = simple_transformer_params(sd, "text_transformer", depth_t)
+        enc_s = simple_transformer_params(sd, "speech_transformer", depth_s)
+    else:
+        depth_t = max(int(k.split(".")[4]) for k in sd
+                      if k.startswith("text_transformer.transformer.attn_layers.layers.")) // 2 + 1
+        depth_s = max(int(k.split(".")[4]) for k in sd
+                      if k.startswith("speech_transformer.transformer.attn_layers.layers.")) // 2 + 1
+        enc_t = xtransformer_encoder_params(
+            sd, "text_transformer.transformer", depth_t, wrapped=True)
+        enc_s = xtransformer_encoder_params(
+            sd, "speech_transformer.transformer", depth_s, wrapped=True)
+    p = {
         "text_emb": {"embedding": t2n(sd["text_emb.weight"])},
         "speech_emb": {"embedding": t2n(sd["speech_emb.weight"])},
-        "text_transformer": xtransformer_encoder_params(
-            sd, "text_transformer.transformer", depth_t, wrapped=True),
-        "speech_transformer": xtransformer_encoder_params(
-            sd, "speech_transformer.transformer", depth_s, wrapped=True),
+        "text_transformer": enc_t,
+        "speech_transformer": enc_s,
         "to_text_latent": {"kernel": dense_kernel(sd["to_text_latent.weight"])},
         "to_speech_latent": {"kernel": dense_kernel(sd["to_speech_latent.weight"])},
         "temperature": t2n(sd["temperature"]).reshape(()),
     }
+    if fallback:
+        p["text_pos_emb"] = {"embedding": t2n(sd["text_pos_emb.weight"])}
+        p["speech_pos_emb"] = {"embedding": t2n(sd["speech_pos_emb.weight"])}
+    return p
 
 
 def _collapsing_transformer_params(sd, prefix: str, depth: int) -> dict:

@@ -25,6 +25,13 @@ class CLVPConfig:
     num_speech_tokens: int = 8192
     speech_enc_depth: int = 20
     speech_heads: int = 12
+    # Non-xformers fallback (reference clvp.py:84-97): plain transformer
+    # (models/simple_transformer.py) + learned absolute position tables.
+    # The shipped checkpoint is xformers-trained, so True is the default;
+    # text_seq_len sizes the fallback's text position table only
+    # (reference api.py:230 passes 350).
+    use_xformers: bool = True
+    text_seq_len: int = 350
 
 
 def masked_mean(t: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
@@ -44,12 +51,27 @@ class CLVP(nn.Module):
         self.text_emb = nn.Embed(cfg.num_text_tokens, cfg.dim_text, param_dtype=jnp.float32)
         self.speech_emb = nn.Embed(cfg.num_speech_tokens, cfg.dim_speech,
                                    param_dtype=jnp.float32)
-        self.text_transformer = XTransformerEncoder(cfg.dim_text, cfg.text_enc_depth,
-                                                    cfg.text_heads, ff_mult=2.0,
-                                                    dtype=self.dtype)
-        self.speech_transformer = XTransformerEncoder(cfg.dim_speech, cfg.speech_enc_depth,
-                                                      cfg.speech_heads, ff_mult=2.0,
-                                                      dtype=self.dtype)
+        if cfg.use_xformers:
+            self.text_transformer = XTransformerEncoder(cfg.dim_text, cfg.text_enc_depth,
+                                                        cfg.text_heads, ff_mult=2.0,
+                                                        dtype=self.dtype)
+            self.speech_transformer = XTransformerEncoder(cfg.dim_speech, cfg.speech_enc_depth,
+                                                          cfg.speech_heads, ff_mult=2.0,
+                                                          dtype=self.dtype)
+        else:
+            from tortoise_tpu.models.simple_transformer import SimpleTransformer
+
+            self.text_transformer = SimpleTransformer(cfg.dim_text, cfg.text_enc_depth,
+                                                      cfg.text_heads, dtype=self.dtype)
+            self.speech_transformer = SimpleTransformer(cfg.dim_speech, cfg.speech_enc_depth,
+                                                        cfg.speech_heads, dtype=self.dtype)
+            # learned absolute positions; the speech table is sized by the
+            # token VOCAB — a reference quirk preserved for checkpoint
+            # compatibility (reference clvp.py:96-97)
+            self.text_pos_emb = nn.Embed(cfg.text_seq_len, cfg.dim_text,
+                                         param_dtype=jnp.float32)
+            self.speech_pos_emb = nn.Embed(cfg.num_speech_tokens, cfg.dim_speech,
+                                           param_dtype=jnp.float32)
         self.to_text_latent = nn.Dense(cfg.dim_latent, use_bias=False, dtype=self.dtype,
                                        param_dtype=jnp.float32)
         self.to_speech_latent = nn.Dense(cfg.dim_latent, use_bias=False, dtype=self.dtype,
@@ -57,12 +79,18 @@ class CLVP(nn.Module):
         self.temperature = self.param("temperature", nn.initializers.ones, (), jnp.float32)
 
     def text_latents(self, text, mask=None):
-        enc = self.text_transformer(self.text_emb(text), mask=mask)
+        emb = self.text_emb(text)
+        if not self.config.use_xformers:  # reference clvp.py:116-117
+            emb = emb + self.text_pos_emb(jnp.arange(text.shape[1]))
+        enc = self.text_transformer(emb, mask=mask)
         lat = self.to_text_latent(masked_mean(enc, mask))
         return lat / jnp.linalg.norm(lat.astype(jnp.float32), axis=-1, keepdims=True)
 
     def speech_latents(self, speech_tokens, mask=None):
-        enc = self.speech_transformer(self.speech_emb(speech_tokens), mask=mask)
+        emb = self.speech_emb(speech_tokens)
+        if not self.config.use_xformers:  # reference clvp.py:118
+            emb = emb + self.speech_pos_emb(jnp.arange(speech_tokens.shape[1]))
+        enc = self.speech_transformer(emb, mask=mask)
         lat = self.to_speech_latent(masked_mean(enc, mask))
         return lat / jnp.linalg.norm(lat.astype(jnp.float32), axis=-1, keepdims=True)
 
