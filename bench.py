@@ -152,6 +152,52 @@ def main():
     def remaining():
         return args.budget - (time.perf_counter() - t_start)
 
+    if not args.smoke:
+        # Device reachability probe in a SUBPROCESS with a hard timeout: a
+        # wedged TPU tunnel blocks inside jax.devices()/the first dispatch
+        # with no Python-level recourse (observed: a tunnel outage hung the
+        # whole bench with 0 emissions). Probing out-of-process lets us
+        # report the outage as a parseable artifact instead of a silent
+        # driver timeout.
+        import subprocess
+        probe_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300"))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import warnings; warnings.filterwarnings('ignore');"
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "x = jnp.ones((128, 128));"
+                 "assert float(np.asarray(x @ x)[0, 0]) == 128.0;"
+                 "print('ok')"],
+                timeout=probe_s, capture_output=True, text=True)
+            alive = r.stdout.strip().endswith("ok")
+        except subprocess.TimeoutExpired:
+            alive = False
+        if not alive:
+            print(json.dumps({
+                "metric": "fast_preset_rtf", "value": 0.0,
+                "unit": "wall_sec_per_audio_sec", "vs_baseline": 0.0,
+                "detail": {"error": f"accelerator unreachable: a 128x128 "
+                                    f"matmul probe did not complete within "
+                                    f"{probe_s:.0f} s — no measurements "
+                                    f"were possible this run"}}))
+            return
+
+    # Hard watchdog: the per-section budget only checks BETWEEN sections, so
+    # a mid-section device wedge would otherwise ride into the driver's
+    # timeout and discard the incrementally-emitted lines with rc=124.
+    # Force a clean exit (rc 0, stdout already flushed per emission) once
+    # the budget plus a section-scale margin is exhausted.
+    import threading
+
+    def _hard_exit():
+        sys.stdout.flush()
+        os._exit(0)
+
+    watchdog = threading.Timer(args.budget + 300.0, _hard_exit)
+    watchdog.daemon = True
+    watchdog.start()
+
     import warnings
 
     warnings.filterwarnings("ignore")
